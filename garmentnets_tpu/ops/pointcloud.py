@@ -81,8 +81,11 @@ def ball_query(points: jax.Array, centers: jax.Array, radius: float,
     centers_c = centers_p.reshape(B, n_chunks, chunk, 3).transpose(1, 0, 2, 3)
 
     def one_chunk(c):  # c: [B, chunk, 3]
+        # precision=highest: TPU einsum defaults to bf16 inputs, which is far
+        # too coarse for nearest-neighbor ordering
         d2 = (jnp.sum(c ** 2, axis=-1, keepdims=True)
-              - 2.0 * jnp.einsum("bmc,bnc->bmn", c, points)
+              - 2.0 * jnp.einsum("bmc,bnc->bmn", c, points,
+                                 precision=jax.lax.Precision.HIGHEST)
               + jnp.sum(points ** 2, axis=-1)[:, None, :])     # [B,chunk,N]
         _, idx = jax.lax.top_k(-d2, k)                          # [B,chunk,K]
         # the expanded quadratic loses precision near the radius boundary;
@@ -112,7 +115,8 @@ def knn_interpolate(src_feat: jax.Array, src_pos: jax.Array,
     y = sum(w x) / sum(w).
     """
     d2 = (jnp.sum(dst_pos ** 2, axis=-1, keepdims=True)
-          - 2.0 * jnp.einsum("btc,bsc->bts", dst_pos, src_pos)
+          - 2.0 * jnp.einsum("btc,bsc->bts", dst_pos, src_pos,
+                             precision=jax.lax.Precision.HIGHEST)
           + jnp.sum(src_pos ** 2, axis=-1)[:, None, :])        # [B,T,S]
     kk = min(k, src_pos.shape[1])
     neg_d, idx = jax.lax.top_k(-d2, kk)                         # [B,T,k]

@@ -19,3 +19,9 @@ if "xla_force_host_platform_device_count" not in _flags:
 
 # repo root on sys.path so `import garmentnets_tpu` works without install
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+
+# The sandbox pins the 'axon' TPU platform regardless of JAX_PLATFORMS; the
+# config knob is authoritative, so force CPU here too.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")

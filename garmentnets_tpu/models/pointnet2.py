@@ -1,0 +1,95 @@
+"""PointNet++ set-abstraction / feature-propagation modules, dense-batch form.
+
+Capability parity with the reference `components/pointnet2.py` (SAModule,
+GlobalSAModule, FPModule) re-designed TPU-first: the PyG ragged flat-concat
+Batch is replaced by dense `[B, N, C]` arrays (SURVEY.md §7). Point counts are
+static (6000 -> ratio 0.5 -> 3000 -> ratio 0.25 -> 750 -> 1), so every stage
+is a fixed-shape XLA program; the only raggedness is the <=K ball-query
+neighbor slots, handled by masked MLP/max (masked max is exact because every
+center is its own neighbor at distance 0).
+"""
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax.numpy as jnp
+import flax.linen as nn
+
+from garmentnets_tpu.ops.pointcloud import (
+    furthest_point_sampling, ball_query, knn_interpolate)
+from garmentnets_tpu.models.mlp import PointMLP
+
+
+class SAModule(nn.Module):
+    """Local set abstraction: FPS -> ball query -> PointConv (masked max).
+
+    Reference components/pointnet2.py:11-33. `nn` there = MLP over
+    concat(x_j, p_j - p_i) followed by max aggregation (PyG PointNetConv).
+    """
+    ratio: float
+    radius: float
+    mlp_channels: Sequence[int]
+    max_neighbors: int = 64
+    batch_norm: bool = True
+
+    @nn.compact
+    def __call__(self, x, pos, train: bool = True):
+        B, N, _ = pos.shape
+        M = int(N * self.ratio)
+        idx = furthest_point_sampling(pos, M)                    # [B,M]
+        centers = jnp.take_along_axis(pos, idx[..., None], axis=1)
+        nbr_idx, nbr_mask = ball_query(
+            pos, centers, self.radius, k=self.max_neighbors)     # [B,M,K]
+        nbr_pos = jnp.take_along_axis(
+            pos[:, None], nbr_idx[..., None], axis=2)            # [B,M,K,3]
+        rel_pos = nbr_pos - centers[:, :, None, :]
+        feats = [rel_pos]
+        if x is not None:
+            nbr_x = jnp.take_along_axis(
+                x[:, None], nbr_idx[..., None], axis=2)          # [B,M,K,C]
+            feats = [nbr_x, rel_pos]
+        h = jnp.concatenate(feats, axis=-1)
+        h = PointMLP(self.mlp_channels, self.batch_norm, name="mlp")(
+            h, mask=nbr_mask, train=train)
+        # masked max over neighbor slots (>=1 valid: self at distance 0)
+        neg_inf = jnp.asarray(-jnp.inf, h.dtype)
+        h = jnp.where(nbr_mask[..., None], h, neg_inf)
+        out = jnp.max(h, axis=2)                                 # [B,M,C']
+        return out, centers
+
+
+class GlobalSAModule(nn.Module):
+    """Global set abstraction: per-point MLP then global max pool.
+
+    Reference components/pointnet2.py:36-52.
+    """
+    mlp_channels: Sequence[int]
+    batch_norm: bool = True
+
+    @nn.compact
+    def __call__(self, x, pos, train: bool = True):
+        h = jnp.concatenate([x, pos], axis=-1)                   # [B,M,C+3]
+        h = PointMLP(self.mlp_channels, self.batch_norm, name="mlp")(
+            h, train=train)
+        out = jnp.max(h, axis=1)                                 # [B,C']
+        pos_out = jnp.zeros((pos.shape[0], 1, 3), pos.dtype)
+        return out, pos_out
+
+
+class FPModule(nn.Module):
+    """Feature propagation: kNN interpolate -> skip concat -> MLP.
+
+    Reference components/pointnet2.py:61-76.
+    """
+    k: int
+    mlp_channels: Sequence[int]
+    batch_norm: bool = True
+
+    @nn.compact
+    def __call__(self, x, pos, x_skip, pos_skip, train: bool = True):
+        h = knn_interpolate(x, pos, pos_skip, k=self.k)          # [B,T,C]
+        if x_skip is not None:
+            h = jnp.concatenate([h, x_skip], axis=-1)
+        h = PointMLP(self.mlp_channels, self.batch_norm, name="mlp")(
+            h, train=train)
+        return h, pos_skip

@@ -1,0 +1,229 @@
+// Host-side isosurface extraction: marching tetrahedra over a regular grid.
+//
+// TPU-native replacement for skimage.measure.marching_cubes (Cython Lewiner)
+// used by the reference at predict.py:172-177 (SURVEY.md §2.3 #8). The cube is
+// split into 6 tetrahedra around the main diagonal; each tet contributes 0-2
+// triangles with vertices interpolated on tet edges (all of which are grid
+// vertex pairs), welded via an open-addressing hash map so the output is an
+// indexed (verts, faces) mesh like skimage's. Variable-size output keeps this
+// off-device; the predict harness overlaps it with the next batch's TPU work.
+//
+// Build: g++ -O3 -shared -fPIC -o libmarching.so marching.cpp
+
+#include <cstdint>
+#include <cstdlib>
+#include <cstring>
+#include <vector>
+
+namespace {
+
+struct Mesh {
+    std::vector<float> verts;   // 3 * nv
+    std::vector<int32_t> faces; // 3 * nf
+};
+
+// open-addressing hash map: 64-bit edge key -> vertex index
+struct EdgeMap {
+    std::vector<uint64_t> keys;
+    std::vector<int32_t> vals;
+    size_t mask;
+    explicit EdgeMap(size_t expected) {
+        size_t cap = 64;
+        while (cap < expected * 2) cap <<= 1;
+        keys.assign(cap, UINT64_MAX);
+        vals.assign(cap, -1);
+        mask = cap - 1;
+    }
+    int32_t* slot(uint64_t key) {
+        size_t h = (key * 0x9E3779B97F4A7C15ULL) & mask;
+        while (keys[h] != UINT64_MAX && keys[h] != key) h = (h + 1) & mask;
+        keys[h] = key;
+        return &vals[h];
+    }
+};
+
+struct Extractor {
+    const float* vol;
+    int64_t nx, ny, nz;
+    float level;
+    float sx, sy, sz;
+    bool ascent;
+    Mesh mesh;
+    EdgeMap edge_map;
+
+    Extractor(const float* v, int64_t nx_, int64_t ny_, int64_t nz_,
+              float level_, float sx_, float sy_, float sz_, bool ascent_)
+        : vol(v), nx(nx_), ny(ny_), nz(nz_), level(level_),
+          sx(sx_), sy(sy_), sz(sz_), ascent(ascent_),
+          edge_map((size_t)(nx_ * ny_ * nz_ / 4 + 64)) {}
+
+    inline float val(int64_t g) const { return vol[g]; }
+
+    inline int32_t edge_vertex(int64_t ga, int64_t gb) {
+        if (ga > gb) { int64_t t = ga; ga = gb; gb = t; }
+        uint64_t key = ((uint64_t)ga << 32) | (uint64_t)gb;
+        int32_t* v = edge_map.slot(key);
+        if (*v >= 0) return *v;
+        float va = val(ga), vb = val(gb);
+        float t = (vb != va) ? (level - va) / (vb - va) : 0.5f;
+        if (t < 0.f) t = 0.f;
+        if (t > 1.f) t = 1.f;
+        // decode grid coords (C-order: x major)
+        int64_t az = ga % nz, ay = (ga / nz) % ny, ax = ga / (nz * ny);
+        int64_t bz = gb % nz, by = (gb / nz) % ny, bx = gb / (nz * ny);
+        float px = ((float)ax + t * (float)(bx - ax)) * sx;
+        float py = ((float)ay + t * (float)(by - ay)) * sy;
+        float pz = ((float)az + t * (float)(bz - az)) * sz;
+        int32_t idx = (int32_t)(mesh.verts.size() / 3);
+        mesh.verts.push_back(px);
+        mesh.verts.push_back(py);
+        mesh.verts.push_back(pz);
+        *v = idx;
+        return idx;
+    }
+
+    inline void emit(int32_t a, int32_t b, int32_t c,
+                     const float* inside_pt) {
+        // orient the triangle so its normal points away from the inside
+        // region (outward for 'ascent'); chamfer/eval are orientation
+        // agnostic, this keeps normals meaningful.
+        const float* pa = &mesh.verts[3 * a];
+        const float* pb = &mesh.verts[3 * b];
+        const float* pc = &mesh.verts[3 * c];
+        float e1[3] = {pb[0] - pa[0], pb[1] - pa[1], pb[2] - pa[2]};
+        float e2[3] = {pc[0] - pa[0], pc[1] - pa[1], pc[2] - pa[2]};
+        float n[3] = {e1[1] * e2[2] - e1[2] * e2[1],
+                      e1[2] * e2[0] - e1[0] * e2[2],
+                      e1[0] * e2[1] - e1[1] * e2[0]};
+        float cx = (pa[0] + pb[0] + pc[0]) / 3.f - inside_pt[0];
+        float cy = (pa[1] + pb[1] + pc[1]) / 3.f - inside_pt[1];
+        float cz = (pa[2] + pb[2] + pc[2]) / 3.f - inside_pt[2];
+        bool flip = (n[0] * cx + n[1] * cy + n[2] * cz) < 0.f;
+        mesh.faces.push_back(a);
+        if (flip) { mesh.faces.push_back(c); mesh.faces.push_back(b); }
+        else      { mesh.faces.push_back(b); mesh.faces.push_back(c); }
+    }
+
+    inline void vert_pos(int64_t g, float* p) const {
+        int64_t z = g % nz, y = (g / nz) % ny, x = g / (nz * ny);
+        p[0] = (float)x * sx; p[1] = (float)y * sy; p[2] = (float)z * sz;
+    }
+
+    void tet(int64_t g0, int64_t g1, int64_t g2, int64_t g3) {
+        int64_t g[4] = {g0, g1, g2, g3};
+        bool in[4];
+        int code = 0, n_in = 0;
+        for (int i = 0; i < 4; ++i) {
+            float v = val(g[i]);
+            in[i] = ascent ? (v > level) : (v < level);
+            if (in[i]) { code |= (1 << i); ++n_in; }
+        }
+        if (n_in == 0 || n_in == 4) return;
+        if (n_in == 1 || n_in == 3) {
+            // one corner separated: single triangle around it
+            int apex = -1;
+            for (int i = 0; i < 4; ++i)
+                if (in[i] == (n_in == 1)) apex = i;
+            int32_t tri[3];
+            int k = 0;
+            for (int i = 0; i < 4; ++i)
+                if (i != apex) tri[k++] = edge_vertex(g[apex], g[i]);
+            // reference point inside the surface
+            float ref[3];
+            if (n_in == 1) {
+                vert_pos(g[apex], ref);
+            } else {
+                float acc[3] = {0, 0, 0}, p[3];
+                for (int i = 0; i < 4; ++i) {
+                    if (i == apex) continue;
+                    vert_pos(g[i], p);
+                    acc[0] += p[0]; acc[1] += p[1]; acc[2] += p[2];
+                }
+                ref[0] = acc[0] / 3.f; ref[1] = acc[1] / 3.f;
+                ref[2] = acc[2] / 3.f;
+            }
+            emit(tri[0], tri[1], tri[2], ref);
+        } else {
+            // 2 in / 2 out: quad split into two triangles
+            int ins[2], outs[2];
+            int ki = 0, ko = 0;
+            for (int i = 0; i < 4; ++i)
+                (in[i] ? ins[ki++] : outs[ko++]) = i;
+            int32_t q00 = edge_vertex(g[ins[0]], g[outs[0]]);
+            int32_t q01 = edge_vertex(g[ins[0]], g[outs[1]]);
+            int32_t q11 = edge_vertex(g[ins[1]], g[outs[1]]);
+            int32_t q10 = edge_vertex(g[ins[1]], g[outs[0]]);
+            float p0[3], p1[3], ref[3];
+            vert_pos(g[ins[0]], p0);
+            vert_pos(g[ins[1]], p1);
+            ref[0] = (p0[0] + p1[0]) * .5f;
+            ref[1] = (p0[1] + p1[1]) * .5f;
+            ref[2] = (p0[2] + p1[2]) * .5f;
+            emit(q00, q01, q11, ref);
+            emit(q00, q11, q10, ref);
+        }
+    }
+
+    void run() {
+        // 6-tet decomposition around main diagonal c0-c6
+        // corner offsets (dx,dy,dz):
+        // 0:(0,0,0) 1:(1,0,0) 2:(1,1,0) 3:(0,1,0)
+        // 4:(0,0,1) 5:(1,0,1) 6:(1,1,1) 7:(0,1,1)
+        static const int TETS[6][4] = {
+            {0, 5, 1, 6}, {0, 1, 2, 6}, {0, 2, 3, 6},
+            {0, 3, 7, 6}, {0, 7, 4, 6}, {0, 4, 5, 6}};
+        const int64_t sxv = ny * nz, syv = nz, szv = 1;
+        const int64_t corner_off[8] = {
+            0, sxv, sxv + syv, syv,
+            szv, sxv + szv, sxv + syv + szv, syv + szv};
+        for (int64_t x = 0; x + 1 < nx; ++x) {
+            for (int64_t y = 0; y + 1 < ny; ++y) {
+                int64_t base_row = x * sxv + y * syv;
+                for (int64_t z = 0; z + 1 < nz; ++z) {
+                    int64_t base = base_row + z;
+                    // fast reject: all corners same side
+                    bool any_in = false, any_out = false;
+                    for (int c = 0; c < 8 && !(any_in && any_out); ++c) {
+                        float v = vol[base + corner_off[c]];
+                        bool i = ascent ? (v > level) : (v < level);
+                        any_in |= i;
+                        any_out |= !i;
+                    }
+                    if (!(any_in && any_out)) continue;
+                    for (int t = 0; t < 6; ++t)
+                        tet(base + corner_off[TETS[t][0]],
+                            base + corner_off[TETS[t][1]],
+                            base + corner_off[TETS[t][2]],
+                            base + corner_off[TETS[t][3]]);
+                }
+            }
+        }
+    }
+};
+
+}  // namespace
+
+extern "C" {
+
+// Returns 0 on success. Caller frees *verts_out / *faces_out with mt_free.
+int marching_tetrahedra(
+        const float* vol, int64_t nx, int64_t ny, int64_t nz,
+        float level, float sx, float sy, float sz, int ascent,
+        float** verts_out, int64_t* nv_out,
+        int32_t** faces_out, int64_t* nf_out) {
+    Extractor ex(vol, nx, ny, nz, level, sx, sy, sz, ascent != 0);
+    ex.run();
+    int64_t nv = (int64_t)(ex.mesh.verts.size() / 3);
+    int64_t nf = (int64_t)(ex.mesh.faces.size() / 3);
+    *nv_out = nv;
+    *nf_out = nf;
+    *verts_out = (float*)malloc(sizeof(float) * 3 * (nv ? nv : 1));
+    *faces_out = (int32_t*)malloc(sizeof(int32_t) * 3 * (nf ? nf : 1));
+    if (nv) memcpy(*verts_out, ex.mesh.verts.data(), sizeof(float) * 3 * nv);
+    if (nf) memcpy(*faces_out, ex.mesh.faces.data(), sizeof(int32_t) * 3 * nf);
+    return 0;
+}
+
+void mt_free(void* p) { free(p); }
+
+}  // extern "C"

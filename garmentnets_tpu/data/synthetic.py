@@ -1,0 +1,168 @@
+"""Synthetic garment dataset generator (reference zarr schema).
+
+The reference trains on the CLOTH3D-derived garmentnets_dataset.zarr, which is
+not redistributable with this repo; this module fabricates structurally
+identical data — hanging-cloth meshes with NOCS correspondence, multi-view
+point clouds, winding-number-field volumes, and GT marching-cube meshes —
+written in the exact on-disk schema (SURVEY.md §2.4):
+
+  samples/<key>: attrs {scale, gender, sample_id, garment_name,
+                        grip_vertex_idx}
+    point_cloud/{point, nocs, rgb, sizes}
+    mesh/{cloth_verts, cloth_nocs_verts, cloth_faces_tri}
+    marching_cube_mesh/{marching_cube_verts, marching_cube_faces,
+                        is_vertex_on_surface}
+    volume/nocs_winding_number_field/<size>
+  summary/{cloth_aabb_union, cloth_canonical_aabb_union}
+
+Used by the test-suite (unit + e2e smoke) and the bench harness; also a
+reproducible template for users converting their own data.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from garmentnets_tpu.data import zarrlite
+from garmentnets_tpu.ops import geometry
+from garmentnets_tpu.ops.marching_cubes import marching_cubes
+from garmentnets_tpu.ops.gaussian import gaussian_gradient_magnitude
+
+
+def make_cloth_mesh(res: int = 12, rng: np.random.RandomState | None = None):
+    """Rectangular cloth grid in NOCS space with mild waviness."""
+    rng = rng or np.random.RandomState(0)
+    u = np.linspace(0.2, 0.8, res)
+    v = np.linspace(0.15, 0.85, res)
+    uu, vv = np.meshgrid(u, v, indexing="ij")
+    amp = 0.04 + 0.03 * rng.rand()
+    phase = rng.rand() * np.pi
+    zz = 0.5 + amp * np.sin(uu * 9 + phase) * np.cos(vv * 7)
+    nocs_verts = np.stack(
+        [uu.ravel(), vv.ravel(), zz.ravel()], axis=1).astype(np.float32)
+    quads = []
+    for i in range(res - 1):
+        for j in range(res - 1):
+            a = i * res + j
+            quads.append([a, a + 1, a + res + 1, a + res])
+    faces = geometry.quads2tris(np.asarray(quads, np.int64))
+    return nocs_verts, faces
+
+
+def deform_to_sim(nocs_verts: np.ndarray, grip_idx: int,
+                  rng: np.random.RandomState, scale: float = 0.6):
+    """Hang the cloth from grip vertex: gravity droop in gripper frame.
+
+    Output sim verts have the grip vertex at the origin (reference convention:
+    'point cloud is in gripper frame', networks/pointnet2_nocs.py:237).
+    """
+    g = nocs_verts[grip_idx]
+    rel = nocs_verts - g
+    r = np.linalg.norm(rel[:, :2], axis=1)
+    droop = -0.8 * r - 0.2 * r ** 2
+    sim = np.stack([
+        rel[:, 0] * (1 - 0.4 * r),
+        rel[:, 1] * (1 - 0.4 * r),
+        rel[:, 2] * 0.3 + droop,
+    ], axis=1) * scale
+    sim += rng.normal(0, 0.003, sim.shape)
+    sim[grip_idx] = 0.0
+    return sim.astype(np.float32)
+
+
+def _render_views(sim_verts, nocs_verts, faces, num_views, pts_per_view, rng):
+    """Per-view surface point clouds with NOCS labels + rgb colors."""
+    pts, nocs, rgb, sizes = [], [], [], []
+    for v in range(num_views):
+        bc, fi = geometry.mesh_sample_barycentric(
+            sim_verts, faces, pts_per_view,
+            seed=int(rng.randint(0, 2 ** 31)))
+        p = geometry.barycentric_interpolation(bc, sim_verts, faces[fi])
+        n = geometry.barycentric_interpolation(bc, nocs_verts, faces[fi])
+        pts.append(p + rng.normal(0, 0.001, p.shape))
+        nocs.append(n)
+        rgb.append((np.clip(n, 0, 1) * 255).astype(np.uint8))
+        sizes.append(pts_per_view)
+    return (np.concatenate(pts).astype(np.float32),
+            np.concatenate(nocs).astype(np.float32),
+            np.concatenate(rgb), np.asarray(sizes, np.int64))
+
+
+def generate_dataset(path, num_instances: int = 3, grips_per_instance: int = 2,
+                     volume_size: int = 32, mesh_res: int = 12,
+                     pts_per_view: int = 2000, num_views: int = 4,
+                     seed: int = 0) -> zarrlite.Group:
+    """Write a synthetic dataset zarr; returns the root group."""
+    root = zarrlite.open(path, "w")
+    samples = root.require_group("samples")
+    rng = np.random.RandomState(seed)
+
+    aabbs, nocs_aabbs = [], []
+    for inst in range(num_instances):
+        nocs_verts, faces = make_cloth_mesh(mesh_res, rng)
+        # GT WNF volume of the canonical mesh (shared across grips)
+        vg_axes = np.linspace(0, 1, volume_size, dtype=np.float32)
+        qx, qy, qz = np.meshgrid(vg_axes, vg_axes, vg_axes, indexing="ij")
+        q = np.stack([qx.ravel(), qy.ravel(), qz.ravel()], axis=1)
+        wnf = geometry.winding_number(q, nocs_verts, faces).reshape(
+            (volume_size,) * 3)
+        # GT marching-cube mesh from the WNF (on-surface flag via smoothed
+        # gradient magnitude, like the reference's offline generation,
+        # common/marching_cubes_util.py:5-35)
+        spacing = 1.0 / (volume_size - 1)
+        try:
+            mc_verts, mc_faces, _, _ = marching_cubes(
+                wnf, 0.5, spacing=(spacing,) * 3)
+            ggm = np.asarray(gaussian_gradient_magnitude(wnf, 0.5))
+            vidx = np.clip((mc_verts / spacing).astype(np.int64), 0,
+                           volume_size - 1)
+            on_surf = ggm[vidx[:, 0], vidx[:, 1], vidx[:, 2]] > 0.25
+        except ValueError:
+            mc_verts = np.zeros((1, 3), np.float32)
+            mc_faces = np.zeros((1, 3), np.int64)
+            on_surf = np.zeros((1,), bool)
+
+        for grip in range(grips_per_instance):
+            grip_idx = int(rng.randint(len(nocs_verts)))
+            scale = float(0.5 + 0.3 * rng.rand())
+            sim_verts = deform_to_sim(nocs_verts, grip_idx, rng, scale)
+            p, n, c, sizes = _render_views(
+                sim_verts, nocs_verts, faces, num_views, pts_per_view, rng)
+
+            key = f"{inst:05d}_{grip:02d}"
+            g = samples.require_group(key)
+            g.attrs.put({
+                "scale": scale,
+                "gender": 0,
+                "sample_id": f"inst_{inst:05d}",
+                "garment_name": "SynthCloth",
+                "grip_vertex_idx": grip_idx,
+            })
+            pc = g.require_group("point_cloud")
+            pc.array("point", p)
+            pc.array("nocs", n)
+            pc.array("rgb", c)
+            pc.array("sizes", sizes)
+            mesh = g.require_group("mesh")
+            mesh.array("cloth_verts", sim_verts)
+            mesh.array("cloth_nocs_verts", nocs_verts)
+            mesh.array("cloth_faces_tri", faces.astype(np.int32))
+            mcg = g.require_group("marching_cube_mesh")
+            mcg.array("marching_cube_verts", mc_verts)
+            mcg.array("marching_cube_faces", mc_faces.astype(np.int32))
+            mcg.array("is_vertex_on_surface", on_surf)
+            vol = g.require_group("volume")
+            wnf_g = vol.require_group("nocs_winding_number_field")
+            wnf_g.array(str(volume_size), wnf.astype(np.float32))
+
+            aabbs.append(geometry.get_aabb(sim_verts))
+            nocs_aabbs.append(geometry.get_aabb(nocs_verts))
+
+    summary = root.require_group("summary")
+    aabbs = np.asarray(aabbs)
+    nocs_aabbs = np.asarray(nocs_aabbs)
+    summary.array("cloth_aabb_union", np.stack(
+        [aabbs[:, 0].min(0), aabbs[:, 1].max(0)]).astype(np.float32))
+    summary.array("cloth_canonical_aabb_union", np.stack(
+        [nocs_aabbs[:, 0].min(0), nocs_aabbs[:, 1].max(0)]).astype(
+            np.float32))
+    return root

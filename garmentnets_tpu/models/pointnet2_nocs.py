@@ -160,14 +160,13 @@ def get_metrics_bin(cfg: PointNet2NOCSConfig, result: dict, batch: dict,
     """CE binning loss + error metrics (reference get_metrics_bin_simple :288
     and the mirrored variant of get_metrics_bin_symmetry_helper :341)."""
     gt_nocs = batch["y"]
-    gt_grip = batch["nocs_grip_point"]
+    gt_grip = batch["nocs_grip_point"]  # [B,3] (collate of (1,3) rows)
     if mirror_axis is not None:
         gt_nocs = mirror_nocs_points_by_axis(gt_nocs, mirror_axis)
         gt_grip = mirror_nocs_points_by_axis(gt_grip, mirror_axis)
 
     nocs_loss = _bin_cross_entropy(cfg, result["per_point_logits"], gt_nocs)
-    grip_loss = _bin_cross_entropy(
-        cfg, result["global_logits"], gt_grip[:, 0])
+    grip_loss = _bin_cross_entropy(cfg, result["global_logits"], gt_grip)
     pred_nocs, confidence = logits_to_nocs_bins(
         cfg, result["per_point_logits"])
     pred_grip, _ = logits_to_nocs_bins(cfg, result["global_logits"])
@@ -181,7 +180,7 @@ def get_metrics_bin(cfg: PointNet2NOCSConfig, result: dict, batch: dict,
         "nocs_err_dist": jnp.mean(
             jnp.linalg.norm(pred_nocs - gt_nocs, axis=-1)),
         "grip_point_err_dist": jnp.mean(
-            jnp.linalg.norm(pred_grip - gt_grip[:, 0], axis=-1)),
+            jnp.linalg.norm(pred_grip - gt_grip, axis=-1)),
     }
     nocs_data = {
         "x": result["per_point_features"],
@@ -198,7 +197,7 @@ def get_metrics_regression(cfg: PointNet2NOCSConfig, result: dict,
     symmetry axis configured, uses min-over-mirror MSE (MirrorMSELoss)."""
     pred_nocs = result["per_point_logits"]
     pred_grip = result["global_logits"]
-    gt_nocs, gt_grip = batch["y"], batch["nocs_grip_point"][:, 0]
+    gt_nocs, gt_grip = batch["y"], batch["nocs_grip_point"]
 
     def criterion(pred, gt):
         mse = jnp.mean((pred - gt) ** 2)

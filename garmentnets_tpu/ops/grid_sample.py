@@ -58,6 +58,34 @@ def grid_sample_trilinear(volume: jax.Array, query: jax.Array) -> jax.Array:
     return c0 * (1 - fx) + c1 * fx
 
 
+def grid_sample_trilinear_np(volume, query):
+    """Numpy twin of grid_sample_trilinear for host-side dataset sampling
+    (the reference calls torch nocs_grid_sample on CPU in the data loader,
+    datasets/conv_implicit_wnf_dataset.py:268-272).
+
+    volume: (D,H,W) or (D,H,W,C); query: (M,3) in [0,1] -> (M,) or (M,C).
+    """
+    import numpy as np
+    squeeze_c = volume.ndim == 3
+    if squeeze_c:
+        volume = volume[..., None]
+    D, H, W, C = volume.shape
+    dims = np.asarray([D - 1, H - 1, W - 1], volume.dtype)
+    q = np.clip(query.astype(volume.dtype) * dims, 0, dims)
+    lo = np.floor(q).astype(np.int64)
+    hi = np.minimum(lo + 1, dims.astype(np.int64))
+    f = (q - lo).astype(volume.dtype)
+    out = np.zeros((len(query), C), volume.dtype)
+    for dx, wx in ((0, 1 - f[:, 0]), (1, f[:, 0])):
+        ix = lo[:, 0] if dx == 0 else hi[:, 0]
+        for dy, wy in ((0, 1 - f[:, 1]), (1, f[:, 1])):
+            iy = lo[:, 1] if dy == 0 else hi[:, 1]
+            for dz, wz in ((0, 1 - f[:, 2]), (1, f[:, 2])):
+                iz = lo[:, 2] if dz == 0 else hi[:, 2]
+                out += (wx * wy * wz)[:, None] * volume[ix, iy, iz]
+    return out[:, 0] if squeeze_c else out
+
+
 def nocs_grid_sample(volume, query):
     """Convenience wrapper accepting reference-style shapes.
 

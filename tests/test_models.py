@@ -30,7 +30,7 @@ def _batch(B=2, N=128, nv=16, ns=16, seed=0):
         "x": jnp.asarray(rng.rand(B, N, 3), jnp.float32),
         "pos": jnp.asarray(rng.rand(B, N, 3) - 0.5, jnp.float32),
         "y": jnp.asarray(rng.rand(B, N, 3), jnp.float32),
-        "nocs_grip_point": jnp.asarray(rng.rand(B, 1, 3), jnp.float32),
+        "nocs_grip_point": jnp.asarray(rng.rand(B, 3), jnp.float32),
         "volume_query_points": jnp.asarray(rng.rand(B, nv, 3), jnp.float32),
         "gt_volume_value": jnp.asarray(rng.rand(B, nv), jnp.float32),
         "surf_query_points": jnp.asarray(rng.rand(B, ns, 3), jnp.float32),

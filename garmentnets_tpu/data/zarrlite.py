@@ -111,7 +111,8 @@ class Array:
         return len(self.shape)
 
     def _read_chunk(self, cidx: Tuple[int, ...]) -> np.ndarray:
-        fname = self.path / ".".join(map(str, cidx))
+        # 0-d arrays store their single chunk as "0" (zarr v2 convention)
+        fname = self.path / (".".join(map(str, cidx)) if cidx else "0")
         cshape = self.chunks
         if not fname.exists():
             fv = self.fill_value
@@ -130,6 +131,9 @@ class Array:
         out = np.empty(self.shape, self.dtype)
         if any(s == 0 for s in self.shape):
             return out
+        if self.ndim == 0:
+            buf = self._read_chunk(())
+            return buf.reshape(()).copy()
         grid = [
             -(-s // c) for s, c in zip(self.shape, self.chunks)]
         for cidx in np.ndindex(*grid):

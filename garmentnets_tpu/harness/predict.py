@@ -1,0 +1,237 @@
+"""Predict CLI: end-to-end inference -> prediction.zarr.
+
+Capability parity with reference `predict.py` (call stack SURVEY.md §3.3):
+per sample it writes the same prediction.zarr schema — marching_cubes_mesh
+{verts, faces, normals, volume_value, volume_gradient_magnitude, warp_field
+[, is_on_surface]}, point_cloud {pred/gt nocs + inputs}, copied
+gt_marching_cubes_mesh, rot-augmented gt_mesh, misc grip-point data — and
+preserves the NaN-sentinel protocol on marching-cubes failure
+(reference predict.py:165-189).
+
+TPU-native upgrades:
+- batched multi-garment inference (the reference asserts batch_size==1),
+- one fused device program per batch (see predict_engine),
+- device/host pipelining: batch i+1's device program is dispatched before
+  batch i's host marching cubes runs.
+"""
+from __future__ import annotations
+
+import pathlib
+import sys
+import time
+
+import numpy as np
+
+from garmentnets_tpu.core import config as config_mod
+from garmentnets_tpu.core.checkpoint import load_checkpoint
+from garmentnets_tpu.core.builders import pipeline_config_from_hparams
+from garmentnets_tpu.core.logging import RunLogger
+from garmentnets_tpu.data import zarrlite
+from garmentnets_tpu.data.dataset import ConvImplicitWNFDataModule
+from garmentnets_tpu.harness.predict_engine import PredictEngine
+from garmentnets_tpu.ops.marching_cubes import marching_cubes
+
+
+def load_pipeline_checkpoint(path):
+    state, hparams = load_checkpoint(path)
+    assert hparams is not None, "checkpoint missing embedded hparams"
+    cfg = pipeline_config_from_hparams(hparams)
+    variables = {"params": state["params"],
+                 "batch_stats": state["batch_stats"]}
+    return cfg, variables
+
+
+def _nan_mc_placeholders():
+    return {
+        "verts": np.full((1, 3), np.nan, np.float32),
+        "faces": np.zeros((1, 3), np.int32),
+        "normals": np.full((1, 3), np.nan, np.float32),
+        "volume_value": np.full((1,), np.nan, np.float32),
+        "volume_gradient_magnitude": np.full((1,), np.nan, np.float32),
+        "warp_field": np.full((1, 3), np.nan, np.float32),
+    }
+
+
+def _write_group(group, data: dict):
+    for key, arr in data.items():
+        arr = np.asarray(arr)
+        group.array(name=key, data=arr,
+                    chunks=arr.shape if arr.size else None)
+
+
+def process_item(engine, enc_np, item, batch_np, input_group, output_group,
+                 pred_cfg, vg_bins):
+    """Host post-processing for one garment of a batch (MC + warp + writes)."""
+    wnf_volume = enc_np["wnf_volume"][item]
+    wnf_ggm = enc_np["wnf_ggm"][item]
+    volume_size = wnf_volume.shape[-1]
+    voxel_spacing = 1 / (volume_size - 1)
+
+    mc_data = _nan_mc_placeholders()
+    try:
+        mc_verts, mc_faces, mc_normals, mc_values = marching_cubes(
+            wnf_volume, level=pred_cfg["iso_surface_level"],
+            spacing=(voxel_spacing,) * 3,
+            gradient_direction=pred_cfg["gradient_direction"])
+        nn_idx = np.clip((mc_verts / voxel_spacing).astype(np.int64),
+                         0, volume_size - 1)
+        mc_verts_ggm = wnf_ggm[nn_idx[:, 0], nn_idx[:, 1], nn_idx[:, 2]]
+        fv = enc_np["feature_volume"][item:item + 1]
+        warp = engine.warp(fv, mc_verts.astype(np.float32))
+        mc_data = {
+            "verts": mc_verts.astype(np.float32),
+            "faces": mc_faces.astype(np.int32),
+            "normals": mc_normals.astype(np.float32),
+            "volume_value": mc_values.astype(np.float32),
+            "volume_gradient_magnitude": mc_verts_ggm.astype(np.float32),
+            "warp_field": warp["warp_field"].astype(np.float32),
+        }
+        if pred_cfg.get("use_hole_prediction"):
+            logits = warp["mc_surface_logits"].astype(np.float32)
+            mc_data["is_on_surface"] = logits > 0
+            mc_data["is_on_surface_logits"] = logits
+    except ValueError:
+        pass
+
+    _write_group(output_group.require_group("marching_cubes_mesh"), mc_data)
+
+    pc_data = {
+        "pred_nocs": enc_np["pred_nocs"][item],
+        "pred_nocs_confidence": enc_np["pred_nocs_confidence"][item],
+        "pred_nocs_logits": enc_np["per_point_logits"][item],
+        "input_points": batch_np["pos"][item],
+        "input_rgb": (batch_np["x"][item] * 255).astype(np.uint8),
+        "gt_nocs": batch_np["y"][item],
+    }
+    _write_group(output_group.require_group("point_cloud"), pc_data)
+
+    # copy gt marching cube mesh + rot-augmented gt mesh
+    zarrlite.copy(input_group["marching_cube_mesh"], output_group,
+                  name="gt_marching_cubes_mesh")
+    rot_mat = batch_np["input_aug_rot_mat"][item]
+    gt_mesh_out = output_group.require_group("gt_mesh")
+    for key, value in input_group["mesh"].arrays():
+        data = value[:]
+        if key == "cloth_verts":
+            data = data @ rot_mat.T
+        gt_mesh_out.array(name=key, data=data)
+
+    # grip point predictions (reference predict.py:254-279)
+    global_logits = enc_np["global_logits"][item]
+    bins = global_logits.shape[-1] // 3
+    gb = global_logits.reshape(bins, 3)
+    grip_bin = np.argmax(gb, axis=0)
+    pred_grip = grip_bin.astype(np.float32) / (bins - 1)
+    eg = np.exp(gb - gb.max(axis=0, keepdims=True))
+    grip_conf = eg / eg.sum(axis=0, keepdims=True)
+
+    pos = batch_np["pos"][item]
+    grip_idx = int(np.argmin(np.linalg.norm(pos, axis=1)))
+    pred_grip_nn = enc_np["pred_nocs"][item][grip_idx]
+
+    misc = {
+        "gt_nocs_grip_point": batch_np["nocs_grip_point"][item],
+        "pred_nocs_grip_point": pred_grip_nn,
+        "pred_global_nocs_grip_point": pred_grip,
+        "pred_global_confidence": grip_conf,
+        "global_feature": enc_np["global_feature"][item],
+    }
+    _write_group(output_group.require_group("misc"), misc)
+    return mc_data
+
+
+def main(cfg, run_dir=None) -> pathlib.Path:
+    run_dir = config_mod.make_run_dir(run_dir=run_dir)
+    logger = RunLogger(run_dir)
+
+    checkpoint_path = pathlib.Path(cfg["main"]["checkpoint_path"]).expanduser()
+    assert checkpoint_path.exists(), checkpoint_path
+    pipe_cfg, variables = load_pipeline_checkpoint(checkpoint_path)
+
+    datamodule = ConvImplicitWNFDataModule(**cfg["datamodule"])
+    datamodule.prepare_data()
+    val_dataset = datamodule.val_dataset
+    subset = cfg["prediction"]["subset"]
+    dataloader = getattr(datamodule, f"{subset}_dataloader")()
+
+    input_root = zarrlite.open(cfg["datamodule"]["zarr_path"], "r")
+    input_samples_group = input_root["samples"]
+
+    output_zarr_path = run_dir / "prediction.zarr"
+    output_root = zarrlite.open(str(output_zarr_path), "a")
+    output_samples = output_root.require_group("samples")
+    output_root.attrs.put({"subset": subset})
+
+    config_mod.dump_config(cfg, run_dir, extra={
+        "meta": {"script_path": __file__},
+        "wandb": {"run_name": logger.name, "run_id": logger.name},
+    })
+
+    pred_cfg = dict(cfg["prediction"])
+    volume_size = pred_cfg["volume_size"]
+    chunk = int(pred_cfg.get("query_chunk", 64)) ** 3
+    chunk = min(chunk, 32768)
+    engine = PredictEngine(
+        pipe_cfg, variables, volume_size=volume_size,
+        gradient_sigma=pred_cfg["gradient_sigma"],
+        query_chunk_pts=chunk)
+
+    t_start = time.time()
+    n_done = 0
+    pending = None  # (enc_device, batch_np) — device/host pipelining
+    batch_iter = iter(dataloader)
+    batch_idx = 0
+    while True:
+        nxt = next(batch_iter, None)
+        if nxt is not None:
+            enc = engine.encode(nxt["x"], nxt["pos"])  # async dispatch
+            nxt_pending = (enc, nxt)
+        else:
+            nxt_pending = None
+
+        if pending is not None:
+            enc, batch_np = pending
+            enc_np = {k: np.asarray(v) for k, v in enc.items()
+                      if k != "feature_volume"}
+            enc_np["feature_volume"] = enc["feature_volume"]
+            b = batch_np["x"].shape[0]
+            for item in range(b):
+                dataset_idx = int(batch_np["dataset_idx"][item])
+                row = val_dataset.groups_df.iloc[dataset_idx]
+                group_key = row.group_key
+                attrs = {k: row[k] for k in
+                         ("scale", "gender", "sample_id", "garment_name",
+                          "grip_vertex_idx")}
+                for k in ("gender", "grip_vertex_idx"):
+                    attrs[k] = int(attrs[k])
+                attrs["batch_idx"] = batch_idx
+                out_group = output_samples.require_group(group_key)
+                out_group.attrs.put(attrs)
+                process_item(engine, enc_np, item, batch_np,
+                             input_samples_group[group_key], out_group,
+                             pred_cfg, pipe_cfg.pointnet2.nocs_bins)
+                n_done += 1
+            logger.log({"prediction_batch_idx": batch_idx}, step=batch_idx)
+            batch_idx += 1
+
+        pending = nxt_pending
+        if pending is None:
+            break
+
+    elapsed = time.time() - t_start
+    logger.summary["garments"] = n_done
+    logger.summary["elapsed_sec"] = elapsed
+    logger.summary["garments_per_sec"] = n_done / max(elapsed, 1e-9)
+    logger.close()
+    return run_dir
+
+
+def cli():
+    overrides = config_mod.parse_cli(sys.argv[1:])
+    cfg = config_mod.load_config("predict_default", overrides)
+    out = main(cfg)
+    print(out)
+
+
+if __name__ == "__main__":
+    cli()

@@ -1,0 +1,161 @@
+"""Training loop: optax Adam + jitted sharded steps + top-k checkpoints.
+
+Replaces PyTorch Lightning (reference Trainer.fit, SURVEY.md §1) with an
+explicit TPU-native loop:
+- one jitted train step (forward + loss + grad + Adam update + BN stats),
+  batch sharded over the 'data' mesh axis, params replicated — XLA inserts
+  the gradient psum (SURVEY.md §2.5 DP design),
+- deterministic validation (val dataset uses static_epoch_seed),
+- TopKCheckpointManager with Lightning-parity naming/semantics,
+- JSONL metric logging.
+"""
+from __future__ import annotations
+
+import time
+from typing import Callable, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+
+from garmentnets_tpu.core.checkpoint import TopKCheckpointManager
+from garmentnets_tpu.core.logging import RunLogger
+from garmentnets_tpu.parallel.mesh import (
+    make_mesh, shard_batch, replicate_tree, pad_batch_to)
+
+
+def make_train_fns(init_fn: Callable, apply_fn: Callable, loss_fn: Callable,
+                   learning_rate: float, mesh=None):
+    """Generic over model call signatures.
+
+    init_fn(rng, batch) -> variables dict ({'params', 'batch_stats'?}).
+    apply_fn(variables, batch, train, mutable, rngs) -> (out, mutated) when
+      mutable else out.
+    loss_fn(out, batch) -> metrics dict with 'loss'.
+    Returns (init_state, train_step, eval_step).
+    """
+    tx = optax.adam(learning_rate)
+
+    def init_state(rng, batch):
+        variables = init_fn(rng, batch)
+        params = variables["params"]
+        batch_stats = variables.get("batch_stats", {})
+        state = {
+            "params": params,
+            "batch_stats": batch_stats,
+            "opt_state": tx.init(params),
+            "step": jnp.zeros((), jnp.int32),
+        }
+        if mesh is not None:
+            state = replicate_tree(state, mesh)
+        return state
+
+    def train_step(state, batch, rng):
+        def compute_loss(params):
+            out, mut = apply_fn(
+                {"params": params, "batch_stats": state["batch_stats"]},
+                batch, train=True, mutable=["batch_stats"],
+                rngs={"dropout": rng})
+            metrics = loss_fn(out, batch)
+            return metrics["loss"], (metrics, mut)
+
+        grad_fn = jax.value_and_grad(compute_loss, has_aux=True)
+        (_, (metrics, mut)), grads = grad_fn(state["params"])
+        updates, opt_state = tx.update(
+            grads, state["opt_state"], state["params"])
+        params = optax.apply_updates(state["params"], updates)
+        new_state = {
+            "params": params,
+            "batch_stats": mut.get("batch_stats", state["batch_stats"]),
+            "opt_state": opt_state,
+            "step": state["step"] + 1,
+        }
+        return new_state, metrics
+
+    def eval_step(state, batch):
+        out = apply_fn(
+            {"params": state["params"],
+             "batch_stats": state["batch_stats"]},
+            batch, train=False, mutable=False, rngs=None)
+        return loss_fn(out, batch)
+
+    train_step = jax.jit(train_step, donate_argnums=(0,))
+    eval_step = jax.jit(eval_step)
+    return init_state, train_step, eval_step
+
+
+class Trainer:
+    """Explicit epoch loop with val-loss checkpoint selection."""
+
+    def __init__(self, max_epochs: int, run_dir, checkpoint_top_k: int = 20,
+                 num_devices: int = -1,
+                 limit_train_batches: Optional[int] = None,
+                 limit_val_batches: Optional[int] = None,
+                 seed: int = 0):
+        self.max_epochs = max_epochs
+        self.run_dir = run_dir
+        self.mesh = make_mesh(num_devices)
+        self.n_dev = self.mesh.devices.size
+        self.ckpt = TopKCheckpointManager(
+            f"{run_dir}/checkpoints", k=checkpoint_top_k)
+        self.logger = RunLogger(run_dir)
+        self.limit_train_batches = limit_train_batches
+        self.limit_val_batches = limit_val_batches
+        self.seed = seed
+
+    def _prep(self, batch):
+        """Pad to a device-divisible batch and shard over the mesh."""
+        b = next(iter(batch.values())).shape[0]
+        target = -(-b // self.n_dev) * self.n_dev
+        padded, _ = pad_batch_to(batch, target)
+        return shard_batch(padded, self.mesh)
+
+    def fit(self, init_state, train_step, eval_step, train_loader,
+            val_loader, hparams: dict, init_batch=None) -> dict:
+        rng = jax.random.PRNGKey(self.seed)
+        if init_batch is None:
+            init_batch = next(iter(train_loader))
+        rng, init_rng = jax.random.split(rng)
+        state = init_state(init_rng, self._prep(init_batch))
+
+        global_step = 0
+        for epoch in range(self.max_epochs):
+            t0 = time.time()
+            n_train = 0
+            for batch in train_loader:
+                if (self.limit_train_batches is not None
+                        and n_train >= self.limit_train_batches):
+                    break
+                rng, step_rng = jax.random.split(rng)
+                state, metrics = train_step(
+                    state, self._prep(batch), step_rng)
+                self.logger.log(
+                    {f"train_{k}": float(v) for k, v in metrics.items()},
+                    step=global_step)
+                global_step += 1
+                n_train += 1
+
+            val_losses = []
+            n_val = 0
+            for batch in val_loader:
+                if (self.limit_val_batches is not None
+                        and n_val >= self.limit_val_batches):
+                    break
+                metrics = eval_step(state, self._prep(batch))
+                val_losses.append(float(metrics["loss"]))
+                self.logger.log(
+                    {f"val_{k}": float(v) for k, v in metrics.items()},
+                    step=global_step)
+                n_val += 1
+            val_loss = float(np.mean(val_losses)) if val_losses else float(
+                "nan")
+
+            host_state = jax.tree_util.tree_map(np.asarray, state)
+            self.ckpt.save(epoch, val_loss, host_state, hparams)
+            self.logger.log({"epoch": epoch, "val_loss": val_loss,
+                             "epoch_sec": time.time() - t0},
+                            step=global_step)
+        self.logger.summary["best_checkpoint"] = str(self.ckpt.best_path)
+        self.logger.close()
+        return state

@@ -40,11 +40,13 @@ class MaskedBatchNorm(nn.Module):
         if train:
             xf = x.astype(jnp.float32)
             if mask is None:
-                n = float(int(jnp.prod(jnp.asarray(x.shape[:-1]))))
+                n = 1
+                for s in x.shape[:-1]:
+                    n *= s
                 mean = jnp.mean(xf, axis=tuple(range(x.ndim - 1)))
                 var = jnp.mean(
                     (xf - mean) ** 2, axis=tuple(range(x.ndim - 1)))
-                n_arr = jnp.asarray(n, jnp.float32)
+                n_arr = jnp.asarray(float(n), jnp.float32)
             else:
                 w = jnp.broadcast_to(
                     mask.astype(jnp.float32)[..., None], x.shape)

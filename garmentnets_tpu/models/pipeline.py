@@ -56,7 +56,8 @@ class VolumeFeatureAggregator(nn.Module):
 
         features = PointMLP(self.nn_channels, self.batch_norm,
                             name="local_nn")(features, train=train)
-        num_cells = int(jnp.prod(jnp.asarray(self.grid_shape)))
+        num_cells = (self.grid_shape[0] * self.grid_shape[1]
+                     * self.grid_shape[2])
         vol = scatter_to_grid(features, flat_idxs, num_cells,
                               self.reduce_method)                 # [B,V,C]
         return vol.reshape((B,) + tuple(self.grid_shape)

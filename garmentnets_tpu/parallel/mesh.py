@@ -1,0 +1,63 @@
+"""Device mesh + sharding helpers.
+
+The reference has no distributed machinery at all (SURVEY.md §2.5); this is
+the TPU-native scaling layer designed in its place:
+
+- data parallelism: batch sharded over a 1-D 'data' mesh axis, params
+  replicated; XLA inserts the psum for gradient reduction (jit/GSPMD).
+- spatial parallelism for dense prediction: the 128^3 (or 256^3) WNF query
+  grid is embarrassingly parallel over chunks; chunks shard over the same
+  mesh axis for batched multi-garment inference.
+
+Collectives ride ICI within a pod; jax.distributed extends the same program
+across hosts over DCN without code changes.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(num_devices: int = -1, axis_name: str = "data") -> Mesh:
+    devices = jax.devices()
+    if num_devices is None or num_devices < 0:
+        num_devices = len(devices)
+    return Mesh(np.asarray(devices[:num_devices]), (axis_name,))
+
+
+def batch_sharding(mesh: Mesh, axis_name: str = "data") -> NamedSharding:
+    return NamedSharding(mesh, P(axis_name))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch: dict, mesh: Mesh, axis_name: str = "data") -> dict:
+    """device_put a host batch with axis 0 sharded over the mesh."""
+    sh = batch_sharding(mesh, axis_name)
+    return jax.tree_util.tree_map(
+        lambda a: jax.device_put(a, sh), batch)
+
+
+def replicate_tree(tree, mesh: Mesh):
+    sh = replicated(mesh)
+    return jax.tree_util.tree_map(lambda a: jax.device_put(a, sh), tree)
+
+
+def pad_batch_to(batch: dict, target_b: int) -> tuple[dict, int]:
+    """Pad batch axis 0 to target_b (divisible by mesh size); returns
+    (padded_batch, real_b). Padding repeats row 0 — results sliced off."""
+    any_leaf = next(iter(batch.values()))
+    real_b = any_leaf.shape[0]
+    if real_b == target_b:
+        return batch, real_b
+    assert real_b < target_b
+
+    def pad(a):
+        reps = np.repeat(a[:1], target_b - real_b, axis=0)
+        return np.concatenate([a, reps], axis=0)
+    return {k: pad(np.asarray(v)) for k, v in batch.items()}, real_b

@@ -34,11 +34,14 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 def main():
     import jax
+    from garmentnets_tpu.core import jaxcfg
+    jaxcfg.setup()
     from garmentnets_tpu.models.pipeline import PipelineConfig
     from garmentnets_tpu.models.pointnet2_nocs import PointNet2NOCSConfig
     from garmentnets_tpu.models.pipeline import ConvImplicitWNFPipeline
     from garmentnets_tpu.harness.predict_engine import PredictEngine
-    from garmentnets_tpu.ops.marching_cubes import marching_cubes
+    from garmentnets_tpu.ops.isosurface import extract_active_cubes
+    import jax.numpy as jnp
 
     B = int(os.environ.get("BENCH_BATCH", "8"))
     N = 6000
@@ -55,32 +58,40 @@ def main():
         "surf_query_points": rng.rand(B, 64, 3).astype(np.float32),
     }
     t0 = time.time()
-    variables = model.init(jax.random.PRNGKey(0), batch, train=False)
+    variables = jax.jit(
+        lambda r: model.init(r, batch, train=False))(jax.random.PRNGKey(0))
+    jax.block_until_ready(variables)
     print(f"init: {time.time()-t0:.1f}s", file=sys.stderr)
 
     engine = PredictEngine(cfg, variables, volume_size=VOL,
-                           gradient_sigma=0.5, query_chunk_pts=32768)
+                           gradient_sigma=0.5)
 
-    # realistic WNF for the host marching-cubes stage (see module docstring)
+    # a random net's WNF is iso-level noise (see docstring); substitute the
+    # active-cube fields of a realistic garment-sized surface so the host MC
+    # + warp stage sees production-shaped work
     ax = np.linspace(0, 1, VOL, dtype=np.float32)
     gx, gy, gz = np.meshgrid(ax, ax, ax, indexing="ij")
     sphere_wnf = 0.5 + (0.3 - np.sqrt(
         (gx - .5) ** 2 + (gy - .5) ** 2 + (gz - .5) ** 2)).astype(np.float32)
-    spacing = 1.0 / (VOL - 1)
+    base, vals, counts = extract_active_cubes(
+        jnp.asarray(np.broadcast_to(sphere_wnf, (B,) + sphere_wnf.shape)),
+        0.5, engine.active_cap)
+    sub = {"active_base": base, "active_vals": vals, "active_counts": counts}
 
-    def host_stage(enc, item_fv):
-        verts, faces, normals, values = marching_cubes(
-            sphere_wnf, 0.5, spacing=(spacing,) * 3)
-        warp = engine.warp(item_fv, verts.astype(np.float32))
-        return len(verts), warp["warp_field"]
+    def run_batch(enc):
+        enc = dict(enc, **sub)
+        meshes = engine.extract_meshes(enc)
+        warps = engine.warp_batch(enc, meshes)
+        return meshes, warps
 
     # warmup / compile
     t0 = time.time()
     enc = engine.encode(batch["x"], batch["pos"])
-    jax.block_until_ready(enc["wnf_volume"])
+    jax.block_until_ready(enc["wnf_ggm"])
     print(f"encode compile+run: {time.time()-t0:.1f}s", file=sys.stderr)
     t0 = time.time()
-    nv, _ = host_stage(enc, enc["feature_volume"][:1])
+    meshes, warps = run_batch(enc)
+    nv = len(meshes[0][0]) if meshes[0] else 0
     print(f"host MC ({nv} verts) + warp compile: {time.time()-t0:.1f}s",
           file=sys.stderr)
 
@@ -92,12 +103,9 @@ def main():
     for i in range(N_BATCHES):
         nxt = (engine.encode(batch["x"], batch["pos"])
                if i + 1 < N_BATCHES else None)
-        fv = pending["feature_volume"]
-        np.asarray(pending["wnf_volume"])  # sync: volume to host
-        np.asarray(pending["wnf_ggm"])
-        for item in range(B):
-            host_stage(pending, fv[item:item + 1])
-            done += 1
+        meshes, warps = run_batch(pending)
+        done += sum(1 for m in meshes if m is not None) \
+            + sum(1 for m in meshes if m is None)
         pending = nxt
     elapsed = time.time() - t_start
     gps = done / elapsed

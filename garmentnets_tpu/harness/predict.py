@@ -29,7 +29,6 @@ from garmentnets_tpu.core.logging import RunLogger
 from garmentnets_tpu.data import zarrlite
 from garmentnets_tpu.data.dataset import ConvImplicitWNFDataModule
 from garmentnets_tpu.harness.predict_engine import PredictEngine
-from garmentnets_tpu.ops.marching_cubes import marching_cubes
 
 
 def load_pipeline_checkpoint(path):
@@ -60,38 +59,28 @@ def _write_group(group, data: dict):
 
 
 def process_item(engine, enc_np, item, batch_np, input_group, output_group,
-                 pred_cfg, vg_bins):
-    """Host post-processing for one garment of a batch (MC + warp + writes)."""
-    wnf_volume = enc_np["wnf_volume"][item]
-    wnf_ggm = enc_np["wnf_ggm"][item]
-    volume_size = wnf_volume.shape[-1]
-    voxel_spacing = 1 / (volume_size - 1)
+                 pred_cfg, mesh, warp):
+    """Host post-processing for one garment of a batch (writes)."""
+    from garmentnets_tpu.ops.geometry import per_vertex_normals
 
     mc_data = _nan_mc_placeholders()
-    try:
-        mc_verts, mc_faces, mc_normals, mc_values = marching_cubes(
-            wnf_volume, level=pred_cfg["iso_surface_level"],
-            spacing=(voxel_spacing,) * 3,
-            gradient_direction=pred_cfg["gradient_direction"])
-        nn_idx = np.clip((mc_verts / voxel_spacing).astype(np.int64),
-                         0, volume_size - 1)
-        mc_verts_ggm = wnf_ggm[nn_idx[:, 0], nn_idx[:, 1], nn_idx[:, 2]]
-        fv = enc_np["feature_volume"][item:item + 1]
-        warp = engine.warp(fv, mc_verts.astype(np.float32))
+    if mesh is not None and warp is not None:
+        mc_verts, mc_faces = mesh
         mc_data = {
             "verts": mc_verts.astype(np.float32),
             "faces": mc_faces.astype(np.int32),
-            "normals": mc_normals.astype(np.float32),
-            "volume_value": mc_values.astype(np.float32),
-            "volume_gradient_magnitude": mc_verts_ggm.astype(np.float32),
+            "normals": per_vertex_normals(
+                mc_verts.astype(np.float64), mc_faces).astype(np.float32),
+            "volume_value": np.full(
+                (len(mc_verts),), pred_cfg["iso_surface_level"], np.float32),
+            "volume_gradient_magnitude":
+                warp["verts_ggm"].astype(np.float32),
             "warp_field": warp["warp_field"].astype(np.float32),
         }
         if pred_cfg.get("use_hole_prediction"):
             logits = warp["mc_surface_logits"].astype(np.float32)
             mc_data["is_on_surface"] = logits > 0
             mc_data["is_on_surface_logits"] = logits
-    except ValueError:
-        pass
 
     _write_group(output_group.require_group("marching_cubes_mesh"), mc_data)
 
@@ -169,12 +158,12 @@ def main(cfg, run_dir=None) -> pathlib.Path:
 
     pred_cfg = dict(cfg["prediction"])
     volume_size = pred_cfg["volume_size"]
-    chunk = int(pred_cfg.get("query_chunk", 64)) ** 3
-    chunk = min(chunk, 32768)
     engine = PredictEngine(
         pipe_cfg, variables, volume_size=volume_size,
         gradient_sigma=pred_cfg["gradient_sigma"],
-        query_chunk_pts=chunk)
+        iso_level=pred_cfg["iso_surface_level"],
+        gradient_direction=pred_cfg["gradient_direction"],
+        use_hole_prediction=bool(pred_cfg.get("use_hole_prediction")))
 
     t_start = time.time()
     n_done = 0
@@ -191,9 +180,14 @@ def main(cfg, run_dir=None) -> pathlib.Path:
 
         if pending is not None:
             enc, batch_np = pending
+            # host marching cubes for the batch (one active-cube fetch),
+            # then one batched warp program
+            meshes = engine.extract_meshes(enc)
+            warps = engine.warp_batch(enc, meshes)
             enc_np = {k: np.asarray(v) for k, v in enc.items()
-                      if k != "feature_volume"}
-            enc_np["feature_volume"] = enc["feature_volume"]
+                      if k in ("pred_nocs", "pred_nocs_confidence",
+                               "per_point_logits", "global_logits",
+                               "global_feature")}
             b = batch_np["x"].shape[0]
             for item in range(b):
                 dataset_idx = int(batch_np["dataset_idx"][item])
@@ -209,7 +203,7 @@ def main(cfg, run_dir=None) -> pathlib.Path:
                 out_group.attrs.put(attrs)
                 process_item(engine, enc_np, item, batch_np,
                              input_samples_group[group_key], out_group,
-                             pred_cfg, pipe_cfg.pointnet2.nocs_bins)
+                             pred_cfg, meshes[item], warps[item])
                 n_done += 1
             logger.log({"prediction_batch_idx": batch_idx}, step=batch_idx)
             batch_idx += 1

@@ -4,12 +4,15 @@ Device view of the reference predict loop (SURVEY.md §3.3), fused into TWO
 device programs per batch instead of the reference's ~70 kernel launches:
 
   program 1 (`encode`): stage-1 PointNet++ -> NOCS + confidence -> volume
-      aggregation -> 3D U-Net -> dense WNF evaluation over the full
-      volume_size^3 lattice (lax.map over static chunks; the reference loops
-      ArraySlicer on the host, predict.py:147-156) -> gaussian gradient
-      magnitude ON DEVICE (reference does scipy on host, :162-163).
-  program 2 (`warp`): surface-decoder query at marching-cubes vertices
-      (padded to shape buckets to bound recompiles).
+      aggregation -> 3D U-Net -> dense WNF over the full volume_size^3
+      lattice via separable-interpolation MATMULS (ops/dense_decode — the
+      reference loops host-side ArraySlicer chunks through grid_sample,
+      predict.py:147-156) -> gaussian gradient magnitude on device ->
+      active-isosurface-cube extraction on device (ops/isosurface), so only
+      ~1 MB/garment crosses the slow device->host link instead of 17 MB.
+  program 2 (`warp`): surface-decoder query at marching-cubes vertices for
+      the WHOLE batch at once (+ gradient-magnitude gather at those verts),
+      padded to shape buckets to bound recompiles.
 
 Host work between the two is exactly the variable-size marching cubes.
 Batched multi-garment inference lifts the reference's bs==1 assert
@@ -17,7 +20,6 @@ Batched multi-garment inference lifts the reference's bs==1 assert
 """
 from __future__ import annotations
 
-import functools
 from typing import Optional
 
 import numpy as np
@@ -27,27 +29,47 @@ import jax.numpy as jnp
 from garmentnets_tpu.models.pipeline import (
     ConvImplicitWNFPipeline, PipelineConfig)
 from garmentnets_tpu.ops.gaussian import gaussian_gradient_magnitude
+from garmentnets_tpu.ops.dense_decode import dense_decode, eval_layers
+from garmentnets_tpu.ops.isosurface import extract_active_cubes
+from garmentnets_tpu.ops.marching_cubes import (
+    marching_cubes_active, marching_cubes)
 
 
 class PredictEngine:
     def __init__(self, cfg: PipelineConfig, variables: dict,
                  volume_size: int = 128, gradient_sigma: float = 0.5,
-                 query_chunk_pts: int = 32768, mesh=None,
-                 warp_bucket: int = 8192):
+                 iso_level: float = 0.5, gradient_direction: str = "ascent",
+                 mesh=None, warp_bucket: int = 8192,
+                 active_cap: int = 65536, fetch_bucket: int = 8192,
+                 precision=jax.lax.Precision.HIGHEST,
+                 return_volume: bool = False,
+                 use_hole_prediction: bool = False):
         self.cfg = cfg
         self.model = ConvImplicitWNFPipeline(cfg)
         self.variables = variables
         self.volume_size = volume_size
         self.gradient_sigma = gradient_sigma
-        self.query_chunk_pts = query_chunk_pts
+        self.iso_level = float(iso_level)
+        self.gradient_direction = gradient_direction
         self.warp_bucket = warp_bucket
+        self.active_cap = active_cap
+        self.fetch_bucket = fetch_bucket
+        self.precision = precision
+        self.return_volume = return_volume
+        self.use_hole_prediction = (use_hole_prediction
+                                    and cfg.has_mc_surface_decoder)
         self.mesh = mesh
 
-        total = volume_size ** 3
-        assert total % query_chunk_pts == 0
-        self.n_chunks = total // query_chunk_pts
+        vd = variables["params"]["volume_decoder"]["mlp"]
+        vd_stats = variables["batch_stats"]["volume_decoder"]["mlp"]
+        self._vd_layers = eval_layers(
+            jax.tree_util.tree_map(np.asarray, vd),
+            jax.tree_util.tree_map(np.asarray, vd_stats))
+
         self._encode = jax.jit(self._encode_impl)
         self._warp = jax.jit(self._warp_impl)
+        self._fetch_active = jax.jit(
+            self._fetch_active_impl, static_argnames=("k",))
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
             bs = NamedSharding(mesh, P("data"))
@@ -55,23 +77,10 @@ class PredictEngine:
             self._encode = jax.jit(
                 self._encode_impl,
                 in_shardings=(rep, bs, bs), out_shardings=bs)
-            self._warp = jax.jit(
-                self._warp_impl,
-                in_shardings=(rep, bs, bs), out_shardings=bs)
 
     # ------------------------------------------------------------------
-    def _dense_grid(self, dtype=jnp.float32):
-        """volume_size^3 lattice on [0,1], chunked [n_chunks, chunk, 3]."""
-        s = self.volume_size
-        idx = jnp.arange(s ** 3)
-        ix = idx // (s * s)
-        iy = (idx // s) % s
-        iz = idx % s
-        pts = jnp.stack([ix, iy, iz], axis=-1).astype(dtype) / (s - 1)
-        return pts.reshape(self.n_chunks, self.query_chunk_pts, 3)
-
     def _encode_impl(self, variables, x, pos):
-        model, cfg = self.model, self.cfg
+        model = self.model
 
         def run(mdl, batch_x, batch_pos):
             p2 = mdl.pointnet2_forward(batch_x, batch_pos)
@@ -81,57 +90,153 @@ class PredictEngine:
         (p2_result, feature_volume) = model.apply(
             variables, x, pos, method=run)
 
-        B = x.shape[0]
-        chunks = self._dense_grid()
-
-        def decode_chunk(q):
-            qb = jnp.broadcast_to(q[None], (B,) + q.shape)
-            return model.apply(variables, feature_volume, qb, train=False,
-                               method="volume_decoder_forward")
-
-        wnf_flat = jax.lax.map(decode_chunk, chunks)      # [C, B, chunk]
-        s = self.volume_size
-        wnf = wnf_flat.transpose(1, 0, 2).reshape(B, s, s, s)
+        wnf = dense_decode(feature_volume, self._vd_layers,
+                           self.volume_size, precision=self.precision)
         ggm = gaussian_gradient_magnitude(wnf, self.gradient_sigma)
+        base, vals, counts = extract_active_cubes(
+            wnf, self.iso_level, self.active_cap)
 
         nd = p2_result["nocs_data"]
-        return {
-            "wnf_volume": wnf,
-            "wnf_ggm": ggm,
-            "feature_volume": feature_volume,
+        out = {
+            "active_base": base,
+            "active_vals": vals,
+            "active_counts": counts,
+            "wnf_ggm": ggm,                      # stays on device
+            "feature_volume": feature_volume,    # stays on device
             "pred_nocs": nd["pos"],
             "pred_nocs_confidence": nd["pred_confidence"],
             "per_point_logits": p2_result["per_point_logits"],
             "global_logits": p2_result["global_logits"],
             "global_feature": p2_result["global_feature"],
         }
+        if self.return_volume:
+            out["wnf_volume"] = wnf
+        return out
 
-    def _warp_impl(self, variables, feature_volume, query_points):
+    @staticmethod
+    def _fetch_active_impl(base, vals, k: int):
+        return base[:, :k], vals[:, :k]
+
+    def _warp_impl(self, variables, feature_volume, ggm, query_points,
+                   vert_voxel_idx):
         model = self.model
         out = model.apply(variables, feature_volume, query_points,
                           train=False, method="surface_decoder_forward")
-        res = {"warp_field": out}
-        if self.cfg.has_mc_surface_decoder:
+        B = ggm.shape[0]
+        ggm_flat = ggm.reshape(B, -1)
+        ggm_at = jnp.take_along_axis(ggm_flat, vert_voxel_idx, axis=1)
+        res = {"warp_field": out, "verts_ggm": ggm_at}
+        if self.use_hole_prediction:
             res["mc_surface_logits"] = model.apply(
                 variables, feature_volume, query_points, train=False,
                 method="mc_surface_decoder_forward")[..., 0]
         return res
 
     # ------------------------------------------------------------------
+    # host-facing API
+    # ------------------------------------------------------------------
     def encode(self, x: np.ndarray, pos: np.ndarray) -> dict:
         """x, pos: [B, N, 3] host arrays -> device result dict (async)."""
-        return self._encode(self.variables, jnp.asarray(x), jnp.asarray(pos))
+        return self._encode(self.variables,
+                            jnp.asarray(np.asarray(x, np.float32)),
+                            jnp.asarray(np.asarray(pos, np.float32)))
 
-    def warp(self, feature_volume, mc_verts: np.ndarray) -> dict:
-        """Query the warp field at MC vertices for ONE garment.
+    def extract_meshes(self, enc: dict) -> list:
+        """Fetch active cubes once for the batch and run host marching
+        tetrahedra per garment. Returns a list of (verts, faces) or None
+        (no surface / NaN-sentinel case)."""
+        counts = np.asarray(enc["active_counts"])
+        B = len(counts)
+        kmax = int(counts.max()) if B else 0
+        S = self.volume_size
+        spacing = (1.0 / (S - 1),) * 3
+        results: list = [None] * B
+        if kmax == 0:
+            return results
+        if kmax > self.active_cap:
+            # capacity overflow: fall back to full-volume MC (rare)
+            wnf = np.asarray(self._dense_wnf(enc))
+            for b in range(B):
+                try:
+                    v, f, _, _ = marching_cubes(
+                        wnf[b], self.iso_level, spacing=spacing,
+                        gradient_direction=self.gradient_direction)
+                    results[b] = (v, f)
+                except ValueError:
+                    pass
+            return results
+        k = min(-(-kmax // self.fetch_bucket) * self.fetch_bucket,
+                self.active_cap)
+        base_d, vals_d = self._fetch_active(
+            enc["active_base"], enc["active_vals"], k)
+        base = np.asarray(base_d)
+        vals = np.asarray(vals_d).astype(np.float32)
+        for b in range(B):
+            n = int(counts[b])
+            if n == 0:
+                continue
+            try:
+                v, f = marching_cubes_active(
+                    base[b, :n], vals[b, :n], (S, S, S), self.iso_level,
+                    spacing, gradient_direction=self.gradient_direction)
+                results[b] = (v, f)
+            except ValueError:
+                pass
+        return results
 
-        mc_verts: [V, 3] variable length; padded to the next warp_bucket
-        multiple (static shape buckets keep recompiles to a handful).
-        feature_volume: [1, D, H, W, C] slice for this garment.
+    def _dense_wnf(self, enc):
+        if "wnf_volume" in enc:
+            return enc["wnf_volume"]
+        if not hasattr(self, "_dense_wnf_fn"):
+            self._dense_wnf_fn = jax.jit(
+                lambda fv: dense_decode(fv, self._vd_layers,
+                                        self.volume_size,
+                                        precision=self.precision))
+        return self._dense_wnf_fn(enc["feature_volume"])
+
+    def warp_batch(self, enc: dict, meshes: list) -> list:
+        """One batched warp + ggm-gather program over all garments' MC verts.
+
+        meshes: list of (verts, faces) or None. Returns per-garment dicts
+        {warp_field [V,3], verts_ggm [V] [, mc_surface_logits [V]]} or None.
         """
+        B = len(meshes)
+        sizes = [0 if m is None else len(m[0]) for m in meshes]
+        vmax = max(sizes)
+        if vmax == 0:
+            return [None] * B
+        padded = -(-vmax // self.warp_bucket) * self.warp_bucket
+        S = self.volume_size
+        spacing = 1.0 / (S - 1)
+        q = np.zeros((B, padded, 3), np.float32)
+        vidx = np.zeros((B, padded), np.int32)
+        for b, m in enumerate(meshes):
+            if m is None:
+                continue
+            verts = m[0]
+            q[b, :len(verts)] = verts
+            nn = np.clip((verts / spacing).astype(np.int64), 0, S - 1)
+            vidx[b, :len(verts)] = (nn[:, 0] * S + nn[:, 1]) * S + nn[:, 2]
+        out = self._warp(self.variables, enc["feature_volume"],
+                         enc["wnf_ggm"], jnp.asarray(q), jnp.asarray(vidx))
+        out = {key: np.asarray(a) for key, a in out.items()}
+        results = []
+        for b, n in enumerate(sizes):
+            if n == 0:
+                results.append(None)
+            else:
+                results.append({key: a[b, :n] for key, a in out.items()})
+        return results
+
+    # back-compat single-garment warp (tests)
+    def warp(self, feature_volume, mc_verts: np.ndarray) -> dict:
         v = len(mc_verts)
         padded = -(-max(v, 1) // self.warp_bucket) * self.warp_bucket
         q = np.zeros((1, padded, 3), np.float32)
         q[0, :v] = mc_verts
-        out = self._warp(self.variables, feature_volume, jnp.asarray(q))
+        S = self.volume_size
+        ggm_dummy = jnp.zeros((1, S, S, S), jnp.float32)
+        vidx = jnp.zeros((1, padded), jnp.int32)
+        out = self._warp(self.variables, feature_volume, ggm_dummy,
+                         jnp.asarray(q), vidx)
         return {k: np.asarray(a)[0, :v] for k, a in out.items()}

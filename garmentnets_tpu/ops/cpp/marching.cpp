@@ -43,21 +43,41 @@ struct EdgeMap {
 };
 
 struct Extractor {
-    const float* vol;
+    const float* vol;          // full volume, or null in active-list mode
     int64_t nx, ny, nz;
     float level;
     float sx, sy, sz;
     bool ascent;
     Mesh mesh;
     EdgeMap edge_map;
+    // active-list mode: per-cube corner values keyed by global vertex id
+    EdgeMap val_map;           // reused as id->slot map (key = global id)
+    std::vector<float> sparse_vals;
 
     Extractor(const float* v, int64_t nx_, int64_t ny_, int64_t nz_,
-              float level_, float sx_, float sy_, float sz_, bool ascent_)
+              float level_, float sx_, float sy_, float sz_, bool ascent_,
+              size_t expected_active = 0)
         : vol(v), nx(nx_), ny(ny_), nz(nz_), level(level_),
           sx(sx_), sy(sy_), sz(sz_), ascent(ascent_),
-          edge_map((size_t)(nx_ * ny_ * nz_ / 4 + 64)) {}
+          edge_map(v ? (size_t)(nx_ * ny_ * nz_ / 4 + 64)
+                     : expected_active * 4 + 64),
+          val_map(v ? 1 : expected_active * 8 + 64) {}
 
-    inline float val(int64_t g) const { return vol[g]; }
+    inline float val(int64_t g) const {
+        if (vol) return vol[g];
+        // active mode: lookup in sparse store (key always present —
+        // every queried id was registered by note_corner)
+        int32_t* slot = const_cast<EdgeMap&>(val_map).slot((uint64_t)g);
+        return sparse_vals[*slot];
+    }
+
+    inline void note_corner(int64_t g, float v) {
+        int32_t* slot = val_map.slot((uint64_t)g);
+        if (*slot < 0) {
+            *slot = (int32_t)sparse_vals.size();
+            sparse_vals.push_back(v);
+        }
+    }
 
     inline int32_t edge_vertex(int64_t ga, int64_t gb) {
         if (ga > gb) { int64_t t = ga; ga = gb; gb = t; }
@@ -164,18 +184,31 @@ struct Extractor {
         }
     }
 
-    void run() {
-        // 6-tet decomposition around main diagonal c0-c6
-        // corner offsets (dx,dy,dz):
-        // 0:(0,0,0) 1:(1,0,0) 2:(1,1,0) 3:(0,1,0)
-        // 4:(0,0,1) 5:(1,0,1) 6:(1,1,1) 7:(0,1,1)
-        static const int TETS[6][4] = {
-            {0, 5, 1, 6}, {0, 1, 2, 6}, {0, 2, 3, 6},
-            {0, 3, 7, 6}, {0, 7, 4, 6}, {0, 4, 5, 6}};
+    // 6-tet decomposition around main diagonal c0-c6
+    // corner offsets (dx,dy,dz):
+    // 0:(0,0,0) 1:(1,0,0) 2:(1,1,0) 3:(0,1,0)
+    // 4:(0,0,1) 5:(1,0,1) 6:(1,1,1) 7:(0,1,1)
+    static const int TETS[6][4];
+
+    inline void corner_offsets(int64_t* off) const {
         const int64_t sxv = ny * nz, syv = nz, szv = 1;
-        const int64_t corner_off[8] = {
-            0, sxv, sxv + syv, syv,
-            szv, sxv + szv, sxv + syv + szv, syv + szv};
+        off[0] = 0; off[1] = sxv; off[2] = sxv + syv; off[3] = syv;
+        off[4] = szv; off[5] = sxv + szv; off[6] = sxv + syv + szv;
+        off[7] = syv + szv;
+    }
+
+    inline void process_cube(int64_t base, const int64_t* corner_off) {
+        for (int t = 0; t < 6; ++t)
+            tet(base + corner_off[TETS[t][0]],
+                base + corner_off[TETS[t][1]],
+                base + corner_off[TETS[t][2]],
+                base + corner_off[TETS[t][3]]);
+    }
+
+    void run() {
+        int64_t corner_off[8];
+        corner_offsets(corner_off);
+        const int64_t sxv = ny * nz, syv = nz;
         for (int64_t x = 0; x + 1 < nx; ++x) {
             for (int64_t y = 0; y + 1 < ny; ++y) {
                 int64_t base_row = x * sxv + y * syv;
@@ -190,16 +223,35 @@ struct Extractor {
                         any_out |= !i;
                     }
                     if (!(any_in && any_out)) continue;
-                    for (int t = 0; t < 6; ++t)
-                        tet(base + corner_off[TETS[t][0]],
-                            base + corner_off[TETS[t][1]],
-                            base + corner_off[TETS[t][2]],
-                            base + corner_off[TETS[t][3]]);
+                    process_cube(base, corner_off);
                 }
             }
         }
     }
+
+    // active-list mode: cube base ids + per-cube corner values (order
+    // matches the corner offsets above)
+    void run_active(const int32_t* cube_idx, const float* corner_vals,
+                    int64_t n_active) {
+        int64_t corner_off[8];
+        corner_offsets(corner_off);
+        for (int64_t i = 0; i < n_active; ++i) {
+            int64_t base = (int64_t)cube_idx[i];
+            if (base < 0) continue;  // padding
+            for (int c = 0; c < 8; ++c)
+                note_corner(base + corner_off[c], corner_vals[i * 8 + c]);
+        }
+        for (int64_t i = 0; i < n_active; ++i) {
+            int64_t base = (int64_t)cube_idx[i];
+            if (base < 0) continue;
+            process_cube(base, corner_off);
+        }
+    }
 };
+
+const int Extractor::TETS[6][4] = {
+    {0, 5, 1, 6}, {0, 1, 2, 6}, {0, 2, 3, 6},
+    {0, 3, 7, 6}, {0, 7, 4, 6}, {0, 4, 5, 6}};
 
 }  // namespace
 
@@ -213,6 +265,30 @@ int marching_tetrahedra(
         int32_t** faces_out, int64_t* nf_out) {
     Extractor ex(vol, nx, ny, nz, level, sx, sy, sz, ascent != 0);
     ex.run();
+    int64_t nv = (int64_t)(ex.mesh.verts.size() / 3);
+    int64_t nf = (int64_t)(ex.mesh.faces.size() / 3);
+    *nv_out = nv;
+    *nf_out = nf;
+    *verts_out = (float*)malloc(sizeof(float) * 3 * (nv ? nv : 1));
+    *faces_out = (int32_t*)malloc(sizeof(int32_t) * 3 * (nf ? nf : 1));
+    if (nv) memcpy(*verts_out, ex.mesh.verts.data(), sizeof(float) * 3 * nv);
+    if (nf) memcpy(*faces_out, ex.mesh.faces.data(), sizeof(int32_t) * 3 * nf);
+    return 0;
+}
+
+// Active-list variant: cube base ids (flat vertex index of each cube's
+// origin corner; -1 entries are padding) + per-cube corner values in the
+// corner order documented in Extractor. Used by the TPU predict path, which
+// extracts active cubes on device to avoid shipping full volumes to host.
+int marching_tetrahedra_active(
+        const int32_t* cube_idx, const float* corner_vals, int64_t n_active,
+        int64_t nx, int64_t ny, int64_t nz,
+        float level, float sx, float sy, float sz, int ascent,
+        float** verts_out, int64_t* nv_out,
+        int32_t** faces_out, int64_t* nf_out) {
+    Extractor ex(nullptr, nx, ny, nz, level, sx, sy, sz, ascent != 0,
+                 (size_t)n_active);
+    ex.run_active(cube_idx, corner_vals, n_active);
     int64_t nv = (int64_t)(ex.mesh.verts.size() / 3);
     int64_t nf = (int64_t)(ex.mesh.faces.size() / 3);
     *nv_out = nv;

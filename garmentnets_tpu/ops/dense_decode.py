@@ -1,0 +1,116 @@
+"""Dense-lattice implicit decoding: separable interpolation as MXU matmuls.
+
+The predict path evaluates the implicit WNF decoder on the FULL volume_size^3
+voxel-center lattice (reference predict.py:145-156). Gather-based trilinear
+sampling is the wrong tool on TPU (measured ~45 ms per 32k queries — gathers
+don't tile onto the MXU). For a *regular lattice*, trilinear interpolation is
+separable: one [S_out, S_in] linear-interpolation matrix per axis, applied as
+three tensor contractions — pure MXU work.
+
+Two further algebraic moves:
+- the decoder's first affine layer commutes with interpolation (trilinear
+  weights sum to 1, so affine maps pass through), so Dense_0 runs at the
+  coarse 32^3 grid before upsampling — removing the widest matmul from the
+  fine lattice;
+- the fine lattice is processed in D-axis slabs under lax.map so peak
+  activation memory stays bounded at any volume size (256^3 stretch incl.).
+
+Exactness: matches grid_sample_trilinear + PointMLP(eval) on lattice queries
+to fp32 rounding (tested), i.e. full parity with the reference's
+align_corners grid_sample + Lin/ReLU/BN decoder semantics.
+"""
+from __future__ import annotations
+
+from typing import List, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+def interp_matrix(s_out: int, s_in: int, dtype=np.float32) -> np.ndarray:
+    """[s_out, s_in] align_corners linear interpolation weights."""
+    w = np.zeros((s_out, s_in), dtype)
+    if s_out == 1:
+        w[0, 0] = 1
+        return w
+    pos = np.arange(s_out) * (s_in - 1) / max(s_out - 1, 1)
+    lo = np.clip(np.floor(pos).astype(np.int64), 0, s_in - 1)
+    hi = np.minimum(lo + 1, s_in - 1)
+    f = (pos - lo).astype(dtype)
+    w[np.arange(s_out), lo] += 1 - f
+    w[np.arange(s_out), hi] += f
+    return w
+
+
+def eval_layers(mlp_params: dict, mlp_batch_stats: dict,
+                epsilon: float = 1e-5
+                ) -> List[Tuple[np.ndarray, np.ndarray, np.ndarray,
+                                np.ndarray]]:
+    """PointMLP eval-mode layers as (K, b, g, s): h -> g*relu(h@K+b)+s.
+
+    The reference MLP applies Lin -> ReLU -> BatchNorm for EVERY layer
+    including the final output (components/mlp.py:9-20); in eval mode the BN
+    is the affine (g, s) with g = scale/rsqrt(var+eps), s = bias - mean*g.
+    Layers without BN get identity (g=1, s=0).
+    """
+    layers = []
+    i = 0
+    while f"dense_{i}" in mlp_params:
+        k = np.asarray(mlp_params[f"dense_{i}"]["kernel"], np.float32)
+        b = np.asarray(mlp_params[f"dense_{i}"]["bias"], np.float32)
+        if f"bn_{i}" in mlp_params:
+            scale = np.asarray(mlp_params[f"bn_{i}"]["scale"], np.float32)
+            bias = np.asarray(mlp_params[f"bn_{i}"]["bias"], np.float32)
+            mean = np.asarray(mlp_batch_stats[f"bn_{i}"]["mean"], np.float32)
+            var = np.asarray(mlp_batch_stats[f"bn_{i}"]["var"], np.float32)
+            g = scale / np.sqrt(var + epsilon)
+            s = bias - mean * g
+        else:
+            g = np.ones(k.shape[1], np.float32)
+            s = np.zeros(k.shape[1], np.float32)
+        layers.append((k, b, g, s))
+        i += 1
+    assert layers, "no dense layers found"
+    return layers
+
+
+def dense_decode(feature_volume: jax.Array, layers, volume_size: int,
+                 slab: int = 4, precision=None) -> jax.Array:
+    """Evaluate an eval-mode PointMLP head on the dense lattice.
+
+    feature_volume: [B, D, H, W, C]; layers: from eval_layers().
+    Returns [B, S, S, S] when the head is scalar, else [B, S, S, S, C_out].
+    """
+    B, D, H, W, C = feature_volume.shape
+    S = volume_size
+    layers = [tuple(jnp.asarray(a) for a in lay) for lay in layers]
+
+    # first affine at the coarse grid (commutes with interpolation)
+    k0, b0, g0, s0 = layers[0]
+    z = jnp.einsum("bdhwc,co->bdhwo", feature_volume, k0,
+                   precision=precision) + b0
+    # upsample H and W while D is still coarse (cheap)
+    z = jnp.einsum("oh,bdhwc->bdowc", jnp.asarray(interp_matrix(S, H)), z,
+                   precision=precision)
+    z = jnp.einsum("ow,bdhwc->bdhoc", jnp.asarray(interp_matrix(S, W)), z,
+                   precision=precision)
+
+    wi = interp_matrix(S, D)
+    assert S % slab == 0
+    w_slabs = jnp.asarray(wi.reshape(S // slab, slab, D))
+
+    def do_slab(w_slab):
+        h = jnp.einsum("sd,bdhwc->bshwc", w_slab, z, precision=precision)
+        h = jax.nn.relu(h) * g0 + s0
+        for (k, b, g, s) in layers[1:]:
+            h = jnp.einsum("bshwc,co->bshwo", h, k,
+                           precision=precision) + b
+            h = jax.nn.relu(h) * g + s
+        return h
+
+    out = jax.lax.map(do_slab, w_slabs)           # [S/slab, B, slab, S, S, O]
+    out = jnp.moveaxis(out, 0, 1).reshape(B, S, S, S, -1)
+    if out.shape[-1] == 1:
+        out = out[..., 0]
+    return out

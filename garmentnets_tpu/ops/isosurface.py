@@ -1,0 +1,64 @@
+"""Device-side active-cube extraction for host marching cubes.
+
+The remote-TPU link is bandwidth- and latency-poor (measured ~20 MB/s d2h);
+shipping full 128^3 WNF volumes to the host (8.4 MB/garment, plus another
+8.4 MB of gradient magnitude) would dominate end-to-end predict time. Instead
+the device finds the cubes whose corners straddle the iso level and emits a
+fixed-capacity (static-shape) list of cube ids + corner values — ~1 MB per
+garment. The C++ marching-tetrahedra consumes the list directly
+(marching_cubes.marching_cubes_active), also skipping its full-volume scan.
+
+Corner order matches marching_cubes.CUBE_CORNERS.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from garmentnets_tpu.ops.marching_cubes import CUBE_CORNERS
+
+
+@functools.partial(jax.jit, static_argnames=("level", "cap"))
+def extract_active_cubes(wnf: jax.Array, level: float, cap: int):
+    """wnf: [B, S, S, S] -> (base_idx [B,cap] i32 (-1 pad), vals [B,cap,8]
+    f16, counts [B] i32).
+
+    base_idx is the flat C-order index of each active cube's origin vertex.
+    counts may exceed cap (host should detect overflow and fall back to the
+    full-volume path).
+    """
+    B, S = wnf.shape[0], wnf.shape[1]
+    inside = wnf > level
+    corner_slices = [
+        inside[:, dx:S - 1 + dx, dy:S - 1 + dy, dz:S - 1 + dz]
+        for (dx, dy, dz) in CUBE_CORNERS]
+    any_in = functools.reduce(jnp.logical_or, corner_slices)
+    all_in = functools.reduce(jnp.logical_and, corner_slices)
+    active = jnp.logical_and(any_in, jnp.logical_not(all_in))
+    counts = active.reshape(B, -1).sum(axis=1).astype(jnp.int32)
+
+    # 8-channel corner-value volume (vectorized shifts), so the sparse read
+    # below is one contiguous 8-wide row gather per cube
+    corner_vals_dense = jnp.stack([
+        wnf[:, dx:S - 1 + dx, dy:S - 1 + dy, dz:S - 1 + dz]
+        for (dx, dy, dz) in CUBE_CORNERS], axis=-1)        # [B,s,s,s,8]
+    s3 = (S - 1) ** 3
+    flat_active = active.reshape(B, s3)
+    flat_cv = corner_vals_dense.reshape(B, s3, 8)
+
+    def one(row_active, row_cv):
+        (cube_idx,) = jnp.nonzero(row_active, size=cap, fill_value=-1)
+        vals = row_cv[jnp.maximum(cube_idx, 0)]
+        return cube_idx.astype(jnp.int32), vals
+
+    cube_idx, vals = jax.vmap(one)(flat_active, flat_cv)
+    # cube-grid flat idx -> full-grid flat idx of the origin vertex
+    s = S - 1
+    cz = cube_idx % s
+    cy = (cube_idx // s) % s
+    cx = cube_idx // (s * s)
+    base = (cx * S + cy) * S + cz
+    base = jnp.where(cube_idx >= 0, base, -1).astype(jnp.int32)
+    return base, vals.astype(jnp.float16), counts

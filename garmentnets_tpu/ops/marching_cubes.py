@@ -40,17 +40,27 @@ def _load_lib():
                 ["g++", "-O3", "-shared", "-fPIC", "-o", str(so), str(src)],
                 check=True, capture_output=True)
         lib = ctypes.CDLL(str(so))
+        out_args = [
+            ctypes.POINTER(ctypes.POINTER(ctypes.c_float)),
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.POINTER(ctypes.c_int32)),
+            ctypes.POINTER(ctypes.c_int64),
+        ]
         lib.marching_tetrahedra.restype = ctypes.c_int
         lib.marching_tetrahedra.argtypes = [
             ctypes.POINTER(ctypes.c_float),
             ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
             ctypes.c_float, ctypes.c_float, ctypes.c_float, ctypes.c_float,
             ctypes.c_int,
-            ctypes.POINTER(ctypes.POINTER(ctypes.c_float)),
-            ctypes.POINTER(ctypes.c_int64),
-            ctypes.POINTER(ctypes.POINTER(ctypes.c_int32)),
-            ctypes.POINTER(ctypes.c_int64),
-        ]
+        ] + out_args
+        lib.marching_tetrahedra_active.restype = ctypes.c_int
+        lib.marching_tetrahedra_active.argtypes = [
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_float, ctypes.c_float, ctypes.c_float, ctypes.c_float,
+            ctypes.c_int,
+        ] + out_args
         lib.mt_free.argtypes = [ctypes.c_void_p]
         _LIB = lib
     except Exception:
@@ -82,6 +92,95 @@ def _mc_native(vol, level, spacing, ascent):
         lib.mt_free(verts_p)
         lib.mt_free(faces_p)
     return verts.astype(np.float32), faces.astype(np.int64)
+
+
+def _collect_mesh(lib_fn, args):
+    verts_p = ctypes.POINTER(ctypes.c_float)()
+    faces_p = ctypes.POINTER(ctypes.c_int32)()
+    nv = ctypes.c_int64()
+    nf = ctypes.c_int64()
+    lib = _load_lib()
+    lib_fn(*args, ctypes.byref(verts_p), ctypes.byref(nv),
+           ctypes.byref(faces_p), ctypes.byref(nf))
+    try:
+        verts = np.ctypeslib.as_array(
+            verts_p, shape=(max(nv.value, 1), 3)).copy()[: nv.value]
+        faces = np.ctypeslib.as_array(
+            faces_p, shape=(max(nf.value, 1), 3)).copy()[: nf.value]
+    finally:
+        lib.mt_free(verts_p)
+        lib.mt_free(faces_p)
+    return verts.astype(np.float32), faces.astype(np.int64)
+
+
+# corner offset order must match the C++/device extraction
+CUBE_CORNERS = np.array([[0, 0, 0], [1, 0, 0], [1, 1, 0], [0, 1, 0],
+                         [0, 0, 1], [1, 0, 1], [1, 1, 1], [0, 1, 1]])
+
+
+def marching_cubes_active(cube_idx: np.ndarray, corner_vals: np.ndarray,
+                          dims, level: float, spacing,
+                          gradient_direction: str = "ascent"):
+    """Isosurface from a device-extracted active-cube list.
+
+    cube_idx: [K] flat vertex index of each cube's origin corner (C-order
+    over dims; -1 = padding); corner_vals: [K, 8] field values at the cube
+    corners in CUBE_CORNERS order. Returns (verts, faces). Raises ValueError
+    when no surface is produced (NaN-sentinel protocol parity).
+    """
+    cube_idx = np.ascontiguousarray(cube_idx, np.int32)
+    corner_vals = np.ascontiguousarray(corner_vals, np.float32)
+    nx, ny, nz = dims
+    ascent = gradient_direction == "ascent"
+    if _load_lib() is not None:
+        lib = _load_lib()
+        verts, faces = _collect_mesh(lib.marching_tetrahedra_active, (
+            cube_idx.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            corner_vals.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            len(cube_idx), nx, ny, nz, ctypes.c_float(level),
+            ctypes.c_float(spacing[0]), ctypes.c_float(spacing[1]),
+            ctypes.c_float(spacing[2]), 1 if ascent else 0))
+    else:
+        verts, faces = _mc_numpy_active(
+            cube_idx, corner_vals, dims, level, spacing, ascent)
+    if len(verts) == 0 or len(faces) == 0:
+        raise ValueError("no surface found at given iso level")
+    return verts, faces
+
+
+def _mc_numpy_active(cube_idx, corner_vals, dims, level, spacing, ascent):
+    """Numpy fallback: scatter corner values into a sparse-as-dense volume
+    restricted to active cubes, then reuse the dense path on the bounding
+    region. Simpler than re-vectorizing; only used where g++ is absent."""
+    nx, ny, nz = dims
+    keep = cube_idx >= 0
+    cube_idx = cube_idx[keep]
+    corner_vals = corner_vals[keep]
+    if len(cube_idx) == 0:
+        return np.zeros((0, 3), np.float32), np.zeros((0, 3), np.int64)
+    # fill a dense volume with a far-side constant so only active cubes cross
+    fill = level - 1.0 if ascent else level + 1.0
+    vol = np.full((nx, ny, nz), fill, np.float32)
+    cz = cube_idx % nz
+    cy = (cube_idx // nz) % ny
+    cx = cube_idx // (nz * ny)
+    for c, (dx, dy, dz) in enumerate(CUBE_CORNERS):
+        vol[cx + dx, cy + dy, cz + dz] = corner_vals[:, c]
+    verts, faces = _mc_numpy(vol, level, spacing, ascent)
+    # drop any triangle not fully inside an active cube (fill-boundary
+    # artifacts): triangles whose cube isn't active
+    active = set(cube_idx.tolist())
+    vv = verts / np.asarray(spacing)
+    centroid = vv[faces].mean(axis=1)
+    cub = np.minimum(np.floor(centroid).astype(np.int64),
+                     np.asarray([nx - 2, ny - 2, nz - 2]))
+    flat = (cub[:, 0] * ny + cub[:, 1]) * nz + cub[:, 2]
+    ok = np.asarray([f in active for f in flat.tolist()])
+    faces = faces[ok]
+    used = np.unique(faces)
+    remap = np.zeros(len(verts), np.int64)
+    remap[used] = np.arange(len(used))
+    return verts[used], remap[faces]
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,103 @@
+"""Parity tests: separable dense decode == gather grid_sample + PointMLP,
+and device active-cube extraction == full-volume marching cubes."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from garmentnets_tpu.models.mlp import PointMLP
+from garmentnets_tpu.ops.grid_sample import grid_sample_trilinear
+from garmentnets_tpu.ops.dense_decode import (
+    dense_decode, eval_layers, interp_matrix)
+from garmentnets_tpu.ops.isosurface import extract_active_cubes
+from garmentnets_tpu.ops.marching_cubes import (
+    marching_cubes, marching_cubes_active)
+
+
+def test_interp_matrix_matches_grid_sample_1d():
+    w = interp_matrix(9, 4)
+    np.testing.assert_allclose(w.sum(1), 1.0, atol=1e-6)
+    src = np.random.RandomState(0).rand(4).astype(np.float32)
+    out = w @ src
+    # oracle: align_corners lattice query through the 3D sampler
+    vol = jnp.asarray(src.reshape(1, 4, 1, 1, 1))
+    q = np.zeros((1, 9, 3), np.float32)
+    q[0, :, 0] = np.arange(9) / 8
+    ref = np.asarray(grid_sample_trilinear(vol, jnp.asarray(q)))[0, :, 0]
+    np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-6)
+
+
+def test_dense_decode_matches_gather_path():
+    rng = np.random.RandomState(1)
+    B, D, C, S = 2, 6, 8, 12
+    fv = jnp.asarray(rng.rand(B, D, D, D, C), jnp.float32)
+
+    mlp = PointMLP((C, 16, 1))
+    q = jnp.asarray(rng.rand(B, 5, 3), jnp.float32)
+    variables = mlp.init(jax.random.PRNGKey(0),
+                         grid_sample_trilinear(fv, q), train=False)
+    # randomize BN stats so the eval affine is non-trivial
+    variables = jax.tree_util.tree_map(
+        lambda a: a + 0.1 * jnp.asarray(
+            np.random.RandomState(2).rand(*a.shape), a.dtype),
+        variables)
+
+    # oracle: gather-sample the full lattice then apply the MLP in eval mode
+    lat = np.stack(np.meshgrid(*([np.arange(S) / (S - 1)] * 3),
+                               indexing="ij"), -1).reshape(-1, 3)
+    latq = jnp.asarray(np.broadcast_to(lat[None], (B,) + lat.shape),
+                       jnp.float32)
+    feats = grid_sample_trilinear(fv, latq)
+    ref = mlp.apply(variables, feats, train=False)
+    ref = np.asarray(ref).reshape(B, S, S, S)
+
+    layers = eval_layers(
+        jax.tree_util.tree_map(np.asarray, variables["params"]),
+        jax.tree_util.tree_map(np.asarray, variables["batch_stats"]))
+    out = np.asarray(dense_decode(
+        fv, layers, S, slab=4,
+        precision=jax.lax.Precision.HIGHEST))
+    np.testing.assert_allclose(out, ref, rtol=2e-4, atol=2e-4)
+
+
+def _sphere(n=24, r=0.3):
+    ax = np.linspace(0, 1, n)
+    x, y, z = np.meshgrid(ax, ax, ax, indexing="ij")
+    return (0.5 + r - np.sqrt(
+        (x - .5) ** 2 + (y - .5) ** 2 + (z - .5) ** 2)).astype(np.float32)
+
+
+def test_active_cubes_match_full_mc():
+    n = 24
+    vol = _sphere(n)
+    base, vals, counts = extract_active_cubes(
+        jnp.asarray(vol[None]), 0.5, cap=8192)
+    c = int(counts[0])
+    assert 0 < c < 8192
+    spacing = (1 / (n - 1),) * 3
+    v_act, f_act = marching_cubes_active(
+        np.asarray(base[0, :c]), np.asarray(vals[0, :c]).astype(np.float32),
+        (n, n, n), 0.5, spacing)
+    # oracle: full-volume MC on the same f16-quantized field (the active
+    # path ships corner values as f16)
+    vol16 = vol.astype(np.float16).astype(np.float32)
+    v_full, f_full, _, _ = marching_cubes(vol16, 0.5, spacing=spacing)
+    assert len(v_act) == len(v_full)
+    assert len(f_act) == len(f_full)
+    s1 = set(map(tuple, np.round(v_act, 4)))
+    s2 = set(map(tuple, np.round(v_full, 4)))
+    assert s1 == s2
+
+
+def test_active_cubes_f16_precision():
+    """f16 corner values keep vertex positions within ~1e-3 voxel units."""
+    n = 24
+    vol = _sphere(n)
+    base, vals, counts = extract_active_cubes(
+        jnp.asarray(vol[None]), 0.5, cap=8192)
+    c = int(counts[0])
+    spacing = (1 / (n - 1),) * 3
+    v16, _ = marching_cubes_active(
+        np.asarray(base[0, :c]), np.asarray(vals[0, :c]).astype(np.float32),
+        (n, n, n), 0.5, spacing)
+    d = np.linalg.norm(v16 - 0.5, axis=1)
+    assert np.abs(d - 0.3).max() < 2.0 / (n - 1)

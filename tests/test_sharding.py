@@ -35,18 +35,26 @@ def test_predict_engine_sharded():
 
     mesh = Mesh(np.asarray(jax.devices()[:4]), ("data",))
     engine = PredictEngine(cfg, variables, volume_size=16,
-                           query_chunk_pts=512, mesh=mesh, warp_bucket=64)
+                           mesh=mesh, warp_bucket=64, return_volume=True)
     out = engine.encode(batch["x"], batch["pos"])
     wnf = np.asarray(out["wnf_volume"])
     assert wnf.shape == (4, 16, 16, 16)
     assert np.isfinite(wnf).all()
     # unsharded engine agrees with sharded
     engine1 = PredictEngine(cfg, variables, volume_size=16,
-                            query_chunk_pts=512, warp_bucket=64)
+                            warp_bucket=64, return_volume=True)
     out1 = engine1.encode(batch["x"], batch["pos"])
     np.testing.assert_allclose(
         wnf, np.asarray(out1["wnf_volume"]), rtol=1e-4, atol=1e-5)
-    # warp query on one garment's feature volume
+    # mesh extraction + batched warp round-trip
+    meshes = engine1.extract_meshes(out1)
+    warps = engine1.warp_batch(out1, meshes)
+    for m, w in zip(meshes, warps):
+        assert (m is None) == (w is None)
+        if m is not None:
+            assert w["warp_field"].shape == (len(m[0]), 3)
+            assert w["verts_ggm"].shape == (len(m[0]),)
+    # single-garment warp helper
     verts = np.random.RandomState(0).rand(37, 3).astype(np.float32)
     w = engine1.warp(out1["feature_volume"][:1], verts)
     assert w["warp_field"].shape == (37, 3)

@@ -87,7 +87,10 @@ class FPModule(nn.Module):
 
     @nn.compact
     def __call__(self, x, pos, x_skip, pos_skip, train: bool = True):
-        h = knn_interpolate(x, pos, pos_skip, k=self.k)          # [B,T,C]
+        # approx_min_k: TPU-optimized kNN (recall ~0.95); inverse-distance
+        # weighting makes the occasional swapped 3rd neighbor negligible
+        h = knn_interpolate(x, pos, pos_skip, k=self.k,
+                            approx=True)                         # [B,T,C]
         if x_skip is not None:
             h = jnp.concatenate([h, x_skip], axis=-1)
         h = PointMLP(self.mlp_channels, self.batch_norm, name="mlp")(

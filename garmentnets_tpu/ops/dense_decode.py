@@ -96,12 +96,33 @@ def dense_decode(feature_volume: jax.Array, layers, volume_size: int,
     z = jnp.einsum("ow,bdhwc->bdhoc", jnp.asarray(interp_matrix(S, W)), z,
                    precision=precision)
 
-    wi = interp_matrix(S, D)
+    # D-axis upsample: each output slice interpolates exactly 2 adjacent
+    # source slices. Gather just those per slab instead of contracting the
+    # full D axis (cuts the slab loop's read traffic by D/2).
     assert S % slab == 0
-    w_slabs = jnp.asarray(wi.reshape(S // slab, slab, D))
+    n_slabs = S // slab
+    pos = np.arange(S) * (D - 1) / max(S - 1, 1)
+    lo = np.clip(np.floor(pos).astype(np.int64), 0, D - 2)  # pair base
+    frac = (pos - lo).astype(np.float32)
+    slab_base = lo.reshape(n_slabs, slab)
+    # per-slab source window [d0, d0+win); width = max pair spread + 1
+    d0 = slab_base.min(axis=1)
+    win = int((slab_base.max(axis=1) + 1 - d0).max()) + 1
+    d0 = np.minimum(d0, D - win)
+    # per-output-slice weights over the window
+    w_win = np.zeros((n_slabs, slab, win), np.float32)
+    for i in range(n_slabs):
+        for j in range(slab):
+            off = slab_base[i, j] - d0[i]
+            w_win[i, j, off] += 1 - frac[i * slab + j]
+            w_win[i, j, off + 1] += frac[i * slab + j]
+    d0 = jnp.asarray(d0, jnp.int32)
+    w_win = jnp.asarray(w_win)
 
-    def do_slab(w_slab):
-        h = jnp.einsum("sd,bdhwc->bshwc", w_slab, z, precision=precision)
+    def do_slab(args):
+        d_start, w_slab = args
+        zz = jax.lax.dynamic_slice_in_dim(z, d_start, win, axis=1)
+        h = jnp.einsum("sd,bdhwc->bshwc", w_slab, zz, precision=precision)
         h = jax.nn.relu(h) * g0 + s0
         for (k, b, g, s) in layers[1:]:
             h = jnp.einsum("bshwc,co->bshwo", h, k,
@@ -109,7 +130,7 @@ def dense_decode(feature_volume: jax.Array, layers, volume_size: int,
             h = jax.nn.relu(h) * g + s
         return h
 
-    out = jax.lax.map(do_slab, w_slabs)           # [S/slab, B, slab, S, S, O]
+    out = jax.lax.map(do_slab, (d0, w_win))       # [S/slab, B, slab, S, S, O]
     out = jnp.moveaxis(out, 0, 1).reshape(B, S, S, S, -1)
     if out.shape[-1] == 1:
         out = out[..., 0]

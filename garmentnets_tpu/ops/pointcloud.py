@@ -62,15 +62,19 @@ def furthest_point_sampling(pos: jax.Array, num_samples: int,
 # ---------------------------------------------------------------------------
 # ball query (fixed-K nearest-within-radius)
 # ---------------------------------------------------------------------------
-@functools.partial(jax.jit, static_argnames=("k", "chunk"))
+@functools.partial(jax.jit, static_argnames=("k", "chunk", "approx"))
 def ball_query(points: jax.Array, centers: jax.Array, radius: float,
-               k: int = 64, chunk: int = 512):
+               k: int = 64, chunk: int = 512, approx: bool = True):
     """K nearest neighbors of each center within `radius`.
 
     points: [B, N, 3], centers: [B, M, 3]. Returns (idx [B,M,K] int32,
     mask [B,M,K] bool). Centers drawn from `points` always have >=1 valid
     neighbor (themselves). Distance matrix is built in M-chunks via lax.map to
     bound HBM peak (full [B,M,N] at production sizes is ~0.5 GB).
+
+    approx=True uses the TPU-optimized approx_min_k (recall ~0.95); the
+    reference's CUDA ball query returns an implementation-defined 64-neighbor
+    subset anyway (SURVEY.md §7), so neighbor-set parity is metric-level.
     """
     B, N, _ = points.shape
     M = centers.shape[1]
@@ -87,7 +91,10 @@ def ball_query(points: jax.Array, centers: jax.Array, radius: float,
               - 2.0 * jnp.einsum("bmc,bnc->bmn", c, points,
                                  precision=jax.lax.Precision.HIGHEST)
               + jnp.sum(points ** 2, axis=-1)[:, None, :])     # [B,chunk,N]
-        _, idx = jax.lax.top_k(-d2, k)                          # [B,chunk,K]
+        if approx:
+            _, idx = jax.lax.approx_min_k(d2, k)                # [B,chunk,K]
+        else:
+            _, idx = jax.lax.top_k(-d2, k)
         # the expanded quadratic loses precision near the radius boundary;
         # recompute exact distances for the K selected candidates only
         nbr = jnp.take_along_axis(
@@ -105,9 +112,10 @@ def ball_query(points: jax.Array, centers: jax.Array, radius: float,
 # ---------------------------------------------------------------------------
 # kNN inverse-distance interpolation
 # ---------------------------------------------------------------------------
-@functools.partial(jax.jit, static_argnames=("k",))
+@functools.partial(jax.jit, static_argnames=("k", "approx"))
 def knn_interpolate(src_feat: jax.Array, src_pos: jax.Array,
-                    dst_pos: jax.Array, k: int = 3) -> jax.Array:
+                    dst_pos: jax.Array, k: int = 3,
+                    approx: bool = False) -> jax.Array:
     """Inverse-squared-distance kNN feature interpolation.
 
     src_feat: [B, S, C], src_pos: [B, S, 3], dst_pos: [B, T, 3] -> [B, T, C].
@@ -119,7 +127,11 @@ def knn_interpolate(src_feat: jax.Array, src_pos: jax.Array,
                              precision=jax.lax.Precision.HIGHEST)
           + jnp.sum(src_pos ** 2, axis=-1)[:, None, :])        # [B,T,S]
     kk = min(k, src_pos.shape[1])
-    neg_d, idx = jax.lax.top_k(-d2, kk)                         # [B,T,k]
+    if approx and kk < src_pos.shape[1]:
+        md, idx = jax.lax.approx_min_k(d2, kk)
+        neg_d = -md
+    else:
+        neg_d, idx = jax.lax.top_k(-d2, kk)                     # [B,T,k]
     d2k = jnp.maximum(-neg_d, 1e-16)
     w = 1.0 / d2k                                               # [B,T,k]
     feats = jnp.take_along_axis(

@@ -91,10 +91,15 @@ def ball_query(points: jax.Array, centers: jax.Array, radius: float,
               - 2.0 * jnp.einsum("bmc,bnc->bmn", c, points,
                                  precision=jax.lax.Precision.HIGHEST)
               + jnp.sum(points ** 2, axis=-1)[:, None, :])     # [B,chunk,N]
-        if approx:
+        if approx and k < N:
             _, idx = jax.lax.approx_min_k(d2, k)                # [B,chunk,K]
         else:
-            _, idx = jax.lax.top_k(-d2, k)
+            _, idx = jax.lax.top_k(-d2, min(k, N))
+            if k > N:
+                idx = jnp.concatenate(
+                    [idx, jnp.broadcast_to(idx[..., :1],
+                                           idx.shape[:-1] + (k - N,))],
+                    axis=-1)
         # the expanded quadratic loses precision near the radius boundary;
         # recompute exact distances for the K selected candidates only
         nbr = jnp.take_along_axis(

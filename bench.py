@@ -78,35 +78,39 @@ def main():
         0.5, engine.active_cap)
     sub = {"active_base": base, "active_vals": vals, "active_counts": counts}
 
-    def run_batch(enc):
-        enc = dict(enc, **sub)
-        meshes = engine.extract_meshes(enc)
-        warps = engine.warp_batch(enc, meshes)
-        return meshes, warps
-
     # warmup / compile
     t0 = time.time()
-    enc = engine.encode(batch["x"], batch["pos"])
-    jax.block_until_ready(enc["wnf_ggm"])
-    print(f"encode compile+run: {time.time()-t0:.1f}s", file=sys.stderr)
+    enc = dict(engine.encode(batch["x"], batch["pos"]), **sub)
+    engine.prefetch(enc)
+    meshes = engine.extract_meshes(enc)
+    print(f"encode+MC compile: {time.time()-t0:.1f}s", file=sys.stderr)
     t0 = time.time()
-    meshes, warps = run_batch(enc)
+    warps = engine.warp_collect(engine.warp_dispatch(enc, meshes))
     nv = len(meshes[0][0]) if meshes[0] else 0
-    print(f"host MC ({nv} verts) + warp compile: {time.time()-t0:.1f}s",
+    print(f"warp compile ({nv} verts): {time.time()-t0:.1f}s",
           file=sys.stderr)
 
-    # timed loop with device/host overlap: dispatch encode for the next
-    # batch before doing host MC for the current one
+    # timed loop: 3-stage software pipeline — device encode(i+1) runs while
+    # the host does MC for i and collects warp results for i-1; all
+    # device->host copies are prefetched asynchronously.
     t_start = time.time()
-    pending = engine.encode(batch["x"], batch["pos"])
     done = 0
+    enc = dict(engine.encode(batch["x"], batch["pos"]), **sub)
+    engine.prefetch(enc)
+    warp_handle = None
     for i in range(N_BATCHES):
-        nxt = (engine.encode(batch["x"], batch["pos"])
-               if i + 1 < N_BATCHES else None)
-        meshes, warps = run_batch(pending)
-        done += sum(1 for m in meshes if m is not None) \
-            + sum(1 for m in meshes if m is None)
-        pending = nxt
+        if i + 1 < N_BATCHES:
+            nxt = dict(engine.encode(batch["x"], batch["pos"]), **sub)
+            engine.prefetch(nxt)
+        else:
+            nxt = None
+        meshes = engine.extract_meshes(enc)
+        if warp_handle is not None:
+            engine.warp_collect(warp_handle)
+        warp_handle = engine.warp_dispatch(enc, meshes)
+        done += len(meshes)
+        enc = nxt
+    engine.warp_collect(warp_handle)
     elapsed = time.time() - t_start
     gps = done / elapsed
 

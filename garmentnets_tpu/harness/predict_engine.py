@@ -40,7 +40,7 @@ class PredictEngine:
                  volume_size: int = 128, gradient_sigma: float = 0.5,
                  iso_level: float = 0.5, gradient_direction: str = "ascent",
                  mesh=None, warp_bucket: int = 8192,
-                 active_cap: int = 65536, fetch_bucket: int = 8192,
+                 active_cap: int = 65536,
                  precision=jax.lax.Precision.HIGHEST,
                  return_volume: bool = False,
                  use_hole_prediction: bool = False):
@@ -53,7 +53,6 @@ class PredictEngine:
         self.gradient_direction = gradient_direction
         self.warp_bucket = warp_bucket
         self.active_cap = active_cap
-        self.fetch_bucket = fetch_bucket
         self.precision = precision
         self.return_volume = return_volume
         self.use_hole_prediction = (use_hole_prediction
@@ -66,10 +65,9 @@ class PredictEngine:
             jax.tree_util.tree_map(np.asarray, vd),
             jax.tree_util.tree_map(np.asarray, vd_stats))
 
+        self._slab = 8 if volume_size % 8 == 0 else 4
         self._encode = jax.jit(self._encode_impl)
         self._warp = jax.jit(self._warp_impl)
-        self._fetch_active = jax.jit(
-            self._fetch_active_impl, static_argnames=("k",))
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
             bs = NamedSharding(mesh, P("data"))
@@ -91,7 +89,8 @@ class PredictEngine:
             variables, x, pos, method=run)
 
         wnf = dense_decode(feature_volume, self._vd_layers,
-                           self.volume_size, precision=self.precision)
+                           self.volume_size, slab=self._slab,
+                           precision=self.precision)
         ggm = gaussian_gradient_magnitude(wnf, self.gradient_sigma)
         base, vals, counts = extract_active_cubes(
             wnf, self.iso_level, self.active_cap)
@@ -112,10 +111,6 @@ class PredictEngine:
         if self.return_volume:
             out["wnf_volume"] = wnf
         return out
-
-    @staticmethod
-    def _fetch_active_impl(base, vals, k: int):
-        return base[:, :k], vals[:, :k]
 
     def _warp_impl(self, variables, feature_volume, ggm, query_points,
                    vert_voxel_idx):
@@ -141,6 +136,16 @@ class PredictEngine:
                             jnp.asarray(np.asarray(x, np.float32)),
                             jnp.asarray(np.asarray(pos, np.float32)))
 
+    PREFETCH_KEYS = ("active_counts", "active_base", "active_vals")
+
+    def prefetch(self, enc: dict, extra_keys=()):
+        """Start async device->host copies for the arrays the host stage will
+        read; overlaps the slow link with device compute and host MC."""
+        for key in tuple(self.PREFETCH_KEYS) + tuple(extra_keys):
+            arr = enc.get(key)
+            if arr is not None and hasattr(arr, "copy_to_host_async"):
+                arr.copy_to_host_async()
+
     def extract_meshes(self, enc: dict) -> list:
         """Fetch active cubes once for the batch and run host marching
         tetrahedra per garment. Returns a list of (verts, faces) or None
@@ -165,12 +170,8 @@ class PredictEngine:
                 except ValueError:
                     pass
             return results
-        k = min(-(-kmax // self.fetch_bucket) * self.fetch_bucket,
-                self.active_cap)
-        base_d, vals_d = self._fetch_active(
-            enc["active_base"], enc["active_vals"], k)
-        base = np.asarray(base_d)
-        vals = np.asarray(vals_d).astype(np.float32)
+        base = np.asarray(enc["active_base"])
+        vals = np.asarray(enc["active_vals"]).astype(np.float32)
         for b in range(B):
             n = int(counts[b])
             if n == 0:
@@ -190,21 +191,19 @@ class PredictEngine:
         if not hasattr(self, "_dense_wnf_fn"):
             self._dense_wnf_fn = jax.jit(
                 lambda fv: dense_decode(fv, self._vd_layers,
-                                        self.volume_size,
+                                        self.volume_size, slab=self._slab,
                                         precision=self.precision))
         return self._dense_wnf_fn(enc["feature_volume"])
 
-    def warp_batch(self, enc: dict, meshes: list) -> list:
-        """One batched warp + ggm-gather program over all garments' MC verts.
-
-        meshes: list of (verts, faces) or None. Returns per-garment dicts
-        {warp_field [V,3], verts_ggm [V] [, mc_surface_logits [V]]} or None.
-        """
+    def warp_dispatch(self, enc: dict, meshes: list):
+        """Dispatch one batched warp + ggm-gather program over all garments'
+        MC verts; returns an opaque handle for warp_collect. Starts async
+        host copies of the results."""
         B = len(meshes)
         sizes = [0 if m is None else len(m[0]) for m in meshes]
-        vmax = max(sizes)
+        vmax = max(sizes) if sizes else 0
         if vmax == 0:
-            return [None] * B
+            return (None, sizes)
         padded = -(-vmax // self.warp_bucket) * self.warp_bucket
         S = self.volume_size
         spacing = 1.0 / (S - 1)
@@ -219,6 +218,16 @@ class PredictEngine:
             vidx[b, :len(verts)] = (nn[:, 0] * S + nn[:, 1]) * S + nn[:, 2]
         out = self._warp(self.variables, enc["feature_volume"],
                          enc["wnf_ggm"], jnp.asarray(q), jnp.asarray(vidx))
+        for a in out.values():
+            if hasattr(a, "copy_to_host_async"):
+                a.copy_to_host_async()
+        return (out, sizes)
+
+    @staticmethod
+    def warp_collect(handle) -> list:
+        out, sizes = handle
+        if out is None:
+            return [None] * len(sizes)
         out = {key: np.asarray(a) for key, a in out.items()}
         results = []
         for b, n in enumerate(sizes):
@@ -227,6 +236,14 @@ class PredictEngine:
             else:
                 results.append({key: a[b, :n] for key, a in out.items()})
         return results
+
+    def warp_batch(self, enc: dict, meshes: list) -> list:
+        """Dispatch + collect in one call (see warp_dispatch/warp_collect).
+
+        meshes: list of (verts, faces) or None. Returns per-garment dicts
+        {warp_field [V,3], verts_ggm [V] [, mc_surface_logits [V]]} or None.
+        """
+        return self.warp_collect(self.warp_dispatch(enc, meshes))
 
     # back-compat single-garment warp (tests)
     def warp(self, feature_volume, mc_verts: np.ndarray) -> dict:

@@ -174,6 +174,10 @@ def main(cfg, run_dir=None) -> pathlib.Path:
         nxt = next(batch_iter, None)
         if nxt is not None:
             enc = engine.encode(nxt["x"], nxt["pos"])  # async dispatch
+            # start async host copies (active cubes + point-cloud outputs)
+            engine.prefetch(enc, extra_keys=(
+                "pred_nocs", "pred_nocs_confidence", "per_point_logits",
+                "global_logits", "global_feature"))
             nxt_pending = (enc, nxt)
         else:
             nxt_pending = None

@@ -137,6 +137,44 @@ def main(cfg, run_dir=None) -> pathlib.Path:
     with (run_dir / "summary.json").open("w") as f:
         json.dump({k: float(v) for k, v in all_metrics_agg.items()},
                   f, indent=2)
+
+    # best/worst/regular 3D visualizations (reference eval.py:1052-1096;
+    # PLY files instead of wandb.Object3D)
+    vis_cfg = dict(cfg.get("vis", {}))
+    samples_per_instance = vis_cfg.get("samples_per_instance", 0)
+    if samples_per_instance > 0:
+        from garmentnets_tpu.harness.eval_vis import (
+            VIS_FUNC_DICT, write_ply_points)
+        vis_dir = run_dir / "vis"
+        vis_dir.mkdir(exist_ok=True)
+        rank_metric = vis_cfg.get("rank_metric")
+        vis_idx_dict = {}
+        if rank_metric in all_metrics_df:
+            ranked = all_metrics_df[rank_metric].sort_values()
+            for i, idx in enumerate(ranked.index[:vis_cfg.get("num_best",
+                                                              2)]):
+                vis_idx_dict[idx] = f"best_{i:02d}"
+            for i, idx in enumerate(
+                    ranked.index[-vis_cfg.get("num_worst", 2):][::-1]):
+                vis_idx_dict[idx] = f"worst_{i:02d}"
+        for i, idx in enumerate(
+                np.arange(vis_cfg.get("num_normal", 10))
+                * samples_per_instance):
+            if idx < len(sample_keys_series):
+                vis_idx_dict.setdefault(int(idx), f"regular_{i:02d}")
+        metric_args = dict(cfg_override_all)
+        for key in DEREFERENCE_KEYS:
+            v = metric_args.get(key)
+            if isinstance(v, str):
+                metric_args[key] = float(np.asarray(pred_root[v]))
+        for idx, tag in vis_idx_dict.items():
+            if is_sample_null.get(idx, True):
+                continue
+            sample_key = sample_keys_series.loc[idx]
+            for func_key, func in VIS_FUNC_DICT.items():
+                pts = func(sample_key, samples_group, **metric_args)
+                write_ply_points(
+                    vis_dir / f"{func_key}_{tag}.ply", pts)
     return run_dir
 
 

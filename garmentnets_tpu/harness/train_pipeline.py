@@ -78,9 +78,27 @@ def main(cfg, run_dir=None):
             template = _orig_init_state(rng, batch)
             return serialization.from_state_dict(template, loaded)
 
+    # per-epoch image logging (reference conv_implicit_wnf.py:345-403)
+    epoch_vis_fn = None
+    vis_per_items = cfg["conv_implicit_model"].get("vis_per_items", 0)
+    val_loader = datamodule.val_dataloader()
+    if vis_per_items > 0 and len(val_loader) > 0:
+        from garmentnets_tpu.harness.vis_hooks import vis_stage2
+        vis_batch = next(iter(val_loader))
+        max_vis = cfg["conv_implicit_model"].get("max_vis_per_epoch_val", 10)
+        bsz = cfg["datamodule"]["batch_size"]
+
+        def epoch_vis_fn(state, epoch, step):
+            out = model.apply(
+                {"params": state["params"],
+                 "batch_stats": state["batch_stats"]},
+                vis_batch, train=False)
+            vis_stage2(trainer.logger, vis_batch, out, 0, bsz,
+                       vis_per_items, max_vis, is_train=False, step=step)
+
     trainer.fit(init_state, train_step, eval_step,
-                datamodule.train_dataloader(), datamodule.val_dataloader(),
-                hparams)
+                datamodule.train_dataloader(), val_loader,
+                hparams, epoch_vis_fn=epoch_vis_fn)
     return run_dir
 
 

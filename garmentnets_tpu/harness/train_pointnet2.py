@@ -67,9 +67,30 @@ def main(cfg, run_dir=None):
             template = _orig_init_state(rng, batch)
             return serialization.from_state_dict(template, loaded)
 
+    # per-epoch image logging (reference wandb vis_batch,
+    # networks/pointnet2_nocs.py:203-255)
+    epoch_vis_fn = None
+    vis_per_items = cfg["model"].get("vis_per_items", 0)
+    val_loader = datamodule.val_dataloader()
+    if vis_per_items > 0 and len(val_loader) > 0:
+        from garmentnets_tpu.harness.vis_hooks import vis_stage1
+        from garmentnets_tpu.models.pointnet2_nocs import logits_to_nocs_bins
+        vis_batch = next(iter(val_loader))
+        max_vis = cfg["model"].get("max_vis_per_epoch_val", 10)
+        bsz = cfg["datamodule"]["batch_size"]
+
+        def epoch_vis_fn(state, epoch, step):
+            out = model.apply(
+                {"params": state["params"],
+                 "batch_stats": state["batch_stats"]},
+                vis_batch["x"], vis_batch["pos"], train=False)
+            _, nocs_data = get_metrics(model_cfg, out, vis_batch)
+            vis_stage1(trainer.logger, vis_batch, nocs_data, 0, bsz,
+                       vis_per_items, max_vis, is_train=False, step=step)
+
     trainer.fit(init_state, train_step, eval_step,
-                datamodule.train_dataloader(), datamodule.val_dataloader(),
-                hparams)
+                datamodule.train_dataloader(), val_loader,
+                hparams, epoch_vis_fn=epoch_vis_fn)
     return run_dir
 
 

@@ -112,7 +112,10 @@ class Trainer:
         return shard_batch(padded, self.mesh)
 
     def fit(self, init_state, train_step, eval_step, train_loader,
-            val_loader, hparams: dict, init_batch=None) -> dict:
+            val_loader, hparams: dict, init_batch=None,
+            epoch_vis_fn=None) -> dict:
+        """epoch_vis_fn(state, epoch, global_step) — optional per-epoch image
+        logging hook (see harness/vis_hooks.py)."""
         rng = jax.random.PRNGKey(self.seed)
         if init_batch is None:
             init_batch = next(iter(train_loader))
@@ -151,6 +154,8 @@ class Trainer:
             val_loss = float(np.mean(val_losses)) if val_losses else float(
                 "nan")
 
+            if epoch_vis_fn is not None:
+                epoch_vis_fn(state, epoch, global_step)
             host_state = jax.tree_util.tree_map(np.asarray, state)
             self.ckpt.save(epoch, val_loss, host_state, hparams)
             self.logger.log({"epoch": epoch, "val_loss": val_loss,

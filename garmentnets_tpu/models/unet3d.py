@@ -147,6 +147,46 @@ def _upsample_nearest(x, target_spatial: Tuple[int, int, int]):
     return x
 
 
+class ResidualUNet3D(nn.Module):
+    """Residual variant (reference unet3d.py:494-509): ExtResNetBlock basic
+    module, transposed-conv upsampling, summation joining."""
+    in_channels: int
+    out_channels: int
+    f_maps: int | Sequence[int] = 32
+    layer_order: str = "cge"
+    num_groups: int = 8
+    num_levels: int = 5
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        f_maps = self.f_maps
+        if isinstance(f_maps, int):
+            f_maps = number_of_features_per_level(f_maps, self.num_levels)
+        enc_feats = []
+        in_ch = self.in_channels
+        for i, out_ch in enumerate(f_maps):
+            if i > 0:
+                x = _max_pool3d(x)
+            x = ExtResNetBlock(in_ch, out_ch, order=self.layer_order,
+                               num_groups=self.num_groups,
+                               name=f"encoder_{i}")(x, train=train)
+            enc_feats.insert(0, x)
+            in_ch = out_ch
+        rev = list(reversed(f_maps))
+        for i in range(len(rev) - 1):
+            skip = enc_feats[i + 1]
+            x = nn.ConvTranspose(
+                rev[i + 1], kernel_size=(3, 3, 3), strides=(2, 2, 2),
+                padding="SAME", name=f"upsample_{i}")(x)
+            x = skip + x
+            x = ExtResNetBlock(rev[i + 1], rev[i + 1],
+                               order=self.layer_order,
+                               num_groups=self.num_groups,
+                               name=f"decoder_{i}")(x, train=train)
+        return nn.Conv(self.out_channels, kernel_size=(1, 1, 1),
+                       name="final_conv")(x)
+
+
 class UNet3D(nn.Module):
     """Abstract3DUNet parity (reference unet3d.py:361-474) with DoubleConv
     basic module, max-pool encoders, nearest-upsample + concat decoders."""

@@ -68,6 +68,55 @@ def buffer_aabb(aabb: np.ndarray, buffer) -> np.ndarray:
     return out
 
 
+def build_line(length: float = 1.0, num_nodes: int = 50):
+    """Straight-line test geometry (reference geometry_util.py:7-13)."""
+    verts = np.zeros((num_nodes, 3), dtype=np.float32)
+    verts[:, 0] = np.linspace(0, length, num_nodes)
+    edges = np.stack([np.arange(num_nodes - 1),
+                      np.arange(1, num_nodes)], axis=1).astype(np.uint32)
+    return verts, edges
+
+
+def build_rectangle(width: float = 0.45, height: float = 0.32,
+                    width_num_node: int = 23, height_num_node: int = 17):
+    """Rectangular cloth grid with uv coords + quad faces (reference
+    geometry_util.py:16-67), row-major with rows along the width axis."""
+    def xy_to_index(x_idx, y_idx):
+        return y_idx * height_num_node + x_idx
+
+    n = width_num_node * height_num_node
+    verts = np.zeros((n, 3), np.float32)
+    uv = np.zeros((n, 2), np.float32)
+    edges, faces = [], []
+    for x in range(height_num_node):
+        for y in range(width_num_node):
+            cur = xy_to_index(x, y)
+            verts[cur, 0] = x * height / (height_num_node - 1)
+            verts[cur, 1] = y * width / (width_num_node - 1)
+            uv[cur, 0] = x / (height_num_node - 1)
+            uv[cur, 1] = y / (width_num_node - 1)
+            if x + 1 < height_num_node:
+                edges.append([cur, xy_to_index(x + 1, y)])
+            if y + 1 < width_num_node:
+                edges.append([cur, xy_to_index(x, y + 1)])
+            if x + 1 < height_num_node and y + 1 < width_num_node:
+                faces.append([cur, xy_to_index(x + 1, y),
+                              xy_to_index(x + 1, y + 1),
+                              xy_to_index(x, y + 1)])
+    return (verts, np.asarray(edges, np.uint32),
+            np.asarray(faces, np.uint32), uv)
+
+
+def faces_to_edges(faces) -> np.ndarray:
+    """Unique undirected edge list of a polygon soup (reference
+    geometry_util.py:69-77)."""
+    edges_set = set()
+    for face in faces:
+        for i in range(1, len(face)):
+            edges_set.add(tuple(sorted((int(face[i - 1]), int(face[i])))))
+    return np.array(sorted(edges_set), dtype=np.int64)
+
+
 def quads2tris(quads: np.ndarray) -> np.ndarray:
     assert quads.ndim == 2 and quads.shape[1] == 4
     tris = np.zeros((quads.shape[0] * 2, 3), dtype=quads.dtype)

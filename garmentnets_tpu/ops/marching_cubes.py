@@ -309,6 +309,28 @@ def marching_cubes(volume: np.ndarray, level: float,
     return verts, faces, normals, values
 
 
+def wnf_to_mesh(wnf_volume: np.ndarray, iso_surface_level: float = 0.5,
+                gradient_threshold: float = 0.25, sigma: float = 0.5):
+    """Standalone WNF -> surface-filtered mesh (reference
+    common/marching_cubes_util.py:5-35, used by offline dataset generation):
+    marching cubes at the iso level, then faces whose vertices fall below the
+    smoothed gradient-magnitude threshold are dropped (open-boundary halo
+    removal)."""
+    import scipy.ndimage as ni
+    volume_size = wnf_volume.shape[-1]
+    wnf_ggm = ni.gaussian_gradient_magnitude(
+        wnf_volume, sigma=sigma, mode="nearest")
+    voxel_spacing = 1 / (volume_size - 1)
+    mc_verts, mc_faces, _, _ = marching_cubes(
+        wnf_volume, level=iso_surface_level, spacing=(voxel_spacing,) * 3,
+        gradient_direction="ascent")
+    nn_idx = np.clip((mc_verts / voxel_spacing).astype(np.int64), 0,
+                     volume_size - 1)
+    verts_ggm = wnf_ggm[nn_idx[:, 0], nn_idx[:, 1], nn_idx[:, 2]]
+    return delete_invalid_verts(mc_verts, mc_faces,
+                                verts_ggm > gradient_threshold)
+
+
 def delete_invalid_verts(mc_verts, mc_faces, is_vert_on_surface):
     """Drop faces touching off-surface verts and reindex (reference
     common/marching_cubes_util.py:38-53)."""

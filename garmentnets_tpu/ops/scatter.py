@@ -42,3 +42,18 @@ def scatter_to_grid(features: jax.Array, flat_idx: jax.Array,
     else:
         raise ValueError(f"unknown reduce {reduce!r}")
     return out.reshape(B, num_cells, C)
+
+
+def batch_to_volume(points: jax.Array, features: jax.Array,
+                    volume_size: int, reduce: str = "mean") -> jax.Array:
+    """Dense-batch twin of reference components/gridding.py:8-42: scatter
+    per-point features into a cube grid by truncated point coordinates.
+
+    points: [B, N, 3] in [0,1]; features: [B, N, C].
+    Returns [B, volume_size^3... ] reshaped to [B, S, S, S, C] feature-last.
+    """
+    s = volume_size
+    grid_i = jnp.clip((points * s).astype(jnp.int32), 0, s - 1)
+    flat = (grid_i[..., 0] * s + grid_i[..., 1]) * s + grid_i[..., 2]
+    vol = scatter_to_grid(features, flat, s ** 3, reduce)
+    return vol.reshape(points.shape[0], s, s, s, features.shape[-1])

@@ -93,6 +93,24 @@ def _viridis(values):
     return colormaps["viridis"](values)
 
 
+def render_wnf(wnf_img, img_size=256, cmap="viridis", min_value=-0.5,
+               max_value=1.5):
+    """Colormapped 2D WNF slice image (reference rendering_util.py:110-116)."""
+    from matplotlib import colormaps
+    value_img = (wnf_img - min_value) / (max_value - min_value)
+    color_img = colormaps[cmap](value_img)
+    # nearest-resize to img_size (reference uses skimage.resize)
+    h = color_img.shape[0]
+    idx = np.clip((np.arange(img_size) * h / img_size).astype(np.int64),
+                  0, h - 1)
+    return color_img[idx][:, idx]
+
+
+def render_wnf_pair(gt_wnf_img, pred_wnf_img, img_size=256):
+    return np.concatenate([render_wnf(gt_wnf_img, img_size),
+                           render_wnf(pred_wnf_img, img_size)], axis=1)
+
+
 def get_wnf_cmap(cmap="viridis", min_value=-0.5, max_value=1.5):
     from matplotlib import colormaps
     cm = colormaps[cmap]

@@ -61,7 +61,8 @@ def stage1_run(synth_zarr, tmp_path_factory):
     from garmentnets_tpu.harness import train_pointnet2
     run_dir = tmp_path_factory.mktemp("s1")
     cfg = {
-        "model": dict(SMALL_MODEL),
+        "model": dict(SMALL_MODEL, vis_per_items=1,
+                      max_vis_per_epoch_val=2),
         "trainer": {"max_epochs": 2, "num_devices": 2,
                     "checkpoint_top_k": 2, "resume_from_checkpoint": None,
                     "limit_train_batches": 2, "limit_val_batches": 1},
@@ -76,6 +77,8 @@ def test_stage1_training(stage1_run):
     ckpts = list((stage1_run / "checkpoints").glob("epoch=*.ckpt"))
     assert len(ckpts) == 2
     assert (stage1_run / "checkpoints/last.ckpt").exists()
+    # per-epoch vis images were written
+    assert list((stage1_run / "media").glob("val_*.png"))
     lines = (stage1_run / "metrics.jsonl").read_text().strip().splitlines()
     recs = [json.loads(x) for x in lines]
     train_losses = [r["train_loss"] for r in recs if "train_loss" in r]
@@ -172,7 +175,9 @@ def test_eval_pipeline(predict_run, tmp_path_factory):
                                  "seed": 0},
             "compute_hausdorff": {"enabled": True},
         },
-        "vis": {"samples_per_instance": 0},
+        "vis": {"samples_per_instance": 1, "num_best": 1, "num_worst": 1,
+                "num_normal": 1,
+                "rank_metric": "chamfer_symmetrical_nocs_no_hole"},
         "logger": {},
     }
     out = eval_mod.main(cfg, run_dir=str(run_dir))
@@ -185,3 +190,6 @@ def test_eval_pipeline(predict_run, tmp_path_factory):
     assert "nocs_pc_error_distance" in summary
     assert np.isfinite(summary["nocs_pc_error_distance"])
     assert "null_percentage" in summary
+    # best/worst PLY visualizations written (non-null samples exist)
+    if summary["null_percentage"] < 1.0:
+        assert list((out / "vis").glob("*.ply"))

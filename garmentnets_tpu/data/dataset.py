@@ -325,7 +325,10 @@ class ConvImplicitWNFDataset:
         if self.enable_augumentation:
             data = self.rotation_augumentation(idx, data)
         if self.include_volume:
-            data["volume"] = data_in["volume"]
+            # leading sample axis for collate (reference expands dims (0,1),
+            # conv_implicit_wnf_dataset.py:172)
+            vol = data_in["volume"]
+            data["volume"] = vol.reshape((1,) + vol.shape)
         return data
 
 

@@ -92,7 +92,7 @@ class Trainer:
                  num_devices: int = -1,
                  limit_train_batches: Optional[int] = None,
                  limit_val_batches: Optional[int] = None,
-                 seed: int = 0):
+                 seed: int = 0, profile_epochs: int = 0):
         self.max_epochs = max_epochs
         self.run_dir = run_dir
         self.mesh = make_mesh(num_devices)
@@ -103,6 +103,9 @@ class Trainer:
         self.limit_train_batches = limit_train_batches
         self.limit_val_batches = limit_val_batches
         self.seed = seed
+        # SURVEY.md §5 tracing: the reference has none; we capture a
+        # jax.profiler trace of the first `profile_epochs` epochs
+        self.profile_epochs = profile_epochs
 
     def _prep(self, batch):
         """Pad to a device-divisible batch and shard over the mesh."""
@@ -124,6 +127,10 @@ class Trainer:
 
         global_step = 0
         for epoch in range(self.max_epochs):
+            if self.profile_epochs and epoch == 0:
+                jax.profiler.start_trace(f"{self.run_dir}/jax_trace")
+            if self.profile_epochs and epoch == self.profile_epochs:
+                jax.profiler.stop_trace()
             t0 = time.time()
             n_train = 0
             for batch in train_loader:
@@ -161,6 +168,8 @@ class Trainer:
             self.logger.log({"epoch": epoch, "val_loss": val_loss,
                              "epoch_sec": time.time() - t0},
                             step=global_step)
+        if self.profile_epochs and self.max_epochs <= self.profile_epochs:
+            jax.profiler.stop_trace()
         self.logger.summary["best_checkpoint"] = str(self.ckpt.best_path)
         self.logger.close()
         return state

@@ -21,6 +21,20 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def init_distributed(coordinator_address: Optional[str] = None,
+                     num_processes: Optional[int] = None,
+                     process_id: Optional[int] = None):
+    """Multi-host initialization (SURVEY.md §2.5 'Multi-host DCN'): after
+    this, jax.devices() spans all hosts and the same pjit programs scale
+    across DCN. No-op when env provides the cluster config (GKE/TPU-VM)."""
+    import jax
+    kwargs = {}
+    if coordinator_address is not None:
+        kwargs = dict(coordinator_address=coordinator_address,
+                      num_processes=num_processes, process_id=process_id)
+    jax.distributed.initialize(**kwargs)
+
+
 def make_mesh(num_devices: int = -1, axis_name: str = "data") -> Mesh:
     devices = jax.devices()
     if num_devices is None or num_devices < 0:

@@ -162,16 +162,20 @@ def main(cfg, run_dir=None) -> pathlib.Path:
                 * samples_per_instance):
             if idx < len(sample_keys_series):
                 vis_idx_dict.setdefault(int(idx), f"regular_{i:02d}")
-        metric_args = dict(cfg_override_all)
+        common_args = dict(cfg_override_all)
         for key in DEREFERENCE_KEYS:
-            v = metric_args.get(key)
+            v = common_args.get(key)
             if isinstance(v, str):
-                metric_args[key] = float(np.asarray(pred_root[v]))
+                common_args[key] = float(np.asarray(pred_root[v]))
         for idx, tag in vis_idx_dict.items():
             if is_sample_null.get(idx, True):
                 continue
             sample_key = sample_keys_series.loc[idx]
             for func_key, func in VIS_FUNC_DICT.items():
+                # per-function args (offsets etc., reference
+                # config/eval_default.yaml vis block) + global overrides
+                metric_args = dict(vis_cfg.get(func_key, {}))
+                metric_args.update(common_args)
                 pts = func(sample_key, samples_group, **metric_args)
                 write_ply_points(
                     vis_dir / f"{func_key}_{tag}.ply", pts)

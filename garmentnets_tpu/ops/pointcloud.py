@@ -99,8 +99,10 @@ def ball_query(points: jax.Array, centers: jax.Array, radius: float,
     centers_c = centers_p.reshape(B, n_chunks, chunk, 3).transpose(1, 0, 2, 3)
 
     def one_chunk(c):  # c: [B, chunk, 3]
-        # precision=highest: TPU einsum defaults to bf16 inputs, which is far
-        # too coarse for nearest-neighbor ordering
+        # precision=highest: at ball radii of 0.05 the bf16-matmul error of
+        # the expanded quadratic (~5e-3 on unit-scale coords) exceeds r^2
+        # (2.5e-3) — candidate selection NEEDS fp32. These K=3 contractions
+        # are memory-bound, so the precision costs ~nothing.
         d2 = (jnp.sum(c ** 2, axis=-1, keepdims=True)
               - 2.0 * jnp.einsum("bmc,bnc->bmn", c, points,
                                  precision=jax.lax.Precision.HIGHEST)
@@ -114,8 +116,8 @@ def ball_query(points: jax.Array, centers: jax.Array, radius: float,
                     [idx, jnp.broadcast_to(idx[..., :1],
                                            idx.shape[:-1] + (k - N,))],
                     axis=-1)
-        # the expanded quadratic loses precision near the radius boundary;
-        # recompute exact distances for the K selected candidates only
+        # exact distances for the K selected candidates only (the expanded
+        # quadratic loses precision near the radius boundary)
         nbr = jnp.take_along_axis(
             points[:, None], idx[..., None], axis=2)            # [B,chunk,K,3]
         d2_exact = jnp.sum((nbr - c[:, :, None, :]) ** 2, axis=-1)

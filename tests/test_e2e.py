@@ -151,6 +151,40 @@ def test_predict_outputs(predict_run):
     assert (predict_run / "config.yaml").exists()
 
 
+def test_batched_predict_matches_bs1(synth_zarr, stage2_run, predict_run,
+                                     tmp_path_factory):
+    """Batched predict (bs=2, lifted from the reference's bs==1 assert)
+    must produce the same per-sample outputs as bs=1."""
+    from garmentnets_tpu.harness import predict
+    from garmentnets_tpu.data import zarrlite
+    run_dir = tmp_path_factory.mktemp("pred_b2")
+    cfg = {
+        "main": {"checkpoint_path":
+                 str(stage2_run / "checkpoints/last.ckpt")},
+        "prediction": {"subset": "test", "volume_size": 16,
+                       "gradient_sigma": 0.5, "iso_surface_level": 0.5,
+                       "gradient_direction": "ascent",
+                       "use_hole_prediction": False},
+        "logger": {},
+        "datamodule": dict(COMMON_DM, zarr_path=synth_zarr, batch_size=2,
+                           static_epoch_seed=True),
+    }
+    out2 = pathlib.Path(predict.main(cfg, run_dir=str(run_dir)))
+    r1 = zarrlite.open(str(predict_run / "prediction.zarr"), "r")
+    r2 = zarrlite.open(str(out2 / "prediction.zarr"), "r")
+    keys = [k for k, _ in r2["samples"].groups()]
+    assert len(keys) == 2
+    for k in keys:
+        a = r1[f"samples/{k}/point_cloud/pred_nocs"][:]
+        b = r2[f"samples/{k}/point_cloud/pred_nocs"][:]
+        # val/test datasets are static-seeded, so inputs match; outputs
+        # must agree to fp tolerance
+        np.testing.assert_allclose(a, b, rtol=1e-3, atol=1e-3)
+        va = r1[f"samples/{k}/marching_cubes_mesh/verts"][:]
+        vb = r2[f"samples/{k}/marching_cubes_mesh/verts"][:]
+        assert (len(va) == 1) == (len(vb) == 1)  # same null/non-null status
+
+
 def test_eval_pipeline(predict_run, tmp_path_factory):
     from garmentnets_tpu.harness import eval as eval_mod
     run_dir = tmp_path_factory.mktemp("eval")

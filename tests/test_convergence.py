@@ -1,0 +1,61 @@
+"""Learning sanity: a small stage-1 model trained briefly on synthetic data
+must reduce NOCS error well below the untrained baseline.
+
+This is the strongest integration evidence that loss wiring, masked BN,
+gradient flow, and the data pipeline are all correct together (the reference
+has no equivalent test — SURVEY.md §4)."""
+import numpy as np
+import jax
+import pytest
+
+from garmentnets_tpu.data.synthetic import generate_dataset
+from garmentnets_tpu.data.dataset import ConvImplicitWNFDataset, collate
+from garmentnets_tpu.models.pointnet2_nocs import (
+    PointNet2NOCS, PointNet2NOCSConfig, get_metrics)
+from garmentnets_tpu.harness.training import make_train_fns
+
+
+@pytest.fixture(scope="module")
+def ds(tmp_path_factory):
+    path = tmp_path_factory.mktemp("conv") / "synth.zarr"
+    generate_dataset(str(path), num_instances=2, grips_per_instance=2,
+                     volume_size=16, mesh_res=8, pts_per_view=400)
+    return ConvImplicitWNFDataset(
+        zarr_path=str(path), num_pc_sample=256, volume_size=None,
+        enable_augumentation=False, static_epoch_seed=True)
+
+
+def test_stage1_learns(ds):
+    cfg = PointNet2NOCSConfig(feature_dim=32, nocs_bins=8, dropout=False,
+                              sa1_r=0.15, sa2_r=0.3, learning_rate=1e-3)
+    model = PointNet2NOCS(cfg)
+
+    batch = collate([ds[i] for i in range(4)])
+
+    def init_fn(rng, b):
+        return model.init(rng, b["x"], b["pos"], train=False)
+
+    def apply_fn(v, b, train, mutable, rngs):
+        return model.apply(v, b["x"], b["pos"], train=train,
+                           mutable=mutable, rngs=rngs)
+
+    def loss_fn(out, b):
+        return get_metrics(cfg, out, b)[0]
+
+    init_state, train_step, eval_step = make_train_fns(
+        init_fn, apply_fn, loss_fn, cfg.learning_rate)
+    rng = jax.random.PRNGKey(0)
+    state = init_state(rng, batch)
+
+    first = eval_step(state, batch)
+    err0 = float(first["nocs_err_dist"])
+    for i in range(60):
+        rng, k = jax.random.split(rng)
+        state, metrics = train_step(state, batch, k)
+    final = eval_step(state, batch)
+    err1 = float(final["nocs_err_dist"])
+    # untrained argmax-bin predictions are ~uniform (err ~0.5); training on
+    # a 4-sample memorization task must at least halve the error. (Loss is
+    # not asserted: eval-mode BN uses lagging running stats at this horizon.)
+    assert np.isfinite(err1)
+    assert err1 < err0 * 0.5, (err0, err1)

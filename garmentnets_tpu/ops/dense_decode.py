@@ -90,15 +90,14 @@ def dense_decode(feature_volume: jax.Array, layers, volume_size: int,
     k0, b0, g0, s0 = layers[0]
     z = jnp.einsum("bdhwc,co->bdhwo", feature_volume, k0,
                    precision=precision) + b0
-    # upsample H and W while D is still coarse (cheap)
-    z = jnp.einsum("oh,bdhwc->bdowc", jnp.asarray(interp_matrix(S, H)), z,
-                   precision=precision)
-    z = jnp.einsum("ow,bdhwc->bdhoc", jnp.asarray(interp_matrix(S, W)), z,
-                   precision=precision)
+    wh = jnp.asarray(interp_matrix(S, H))
+    ww = jnp.asarray(interp_matrix(S, W))
 
     # D-axis upsample: each output slice interpolates exactly 2 adjacent
     # source slices. Gather just those per slab instead of contracting the
-    # full D axis (cuts the slab loop's read traffic by D/2).
+    # full D axis; H/W upsampling also happens inside the slab loop, so the
+    # only materialized fine-lattice tensors are one slab wide (peak memory
+    # O(B*slab*S^2*C) — the 256^3 stretch config fits on one chip).
     assert S % slab == 0
     n_slabs = S // slab
     pos = np.arange(S) * (D - 1) / max(S - 1, 1)
@@ -123,6 +122,8 @@ def dense_decode(feature_volume: jax.Array, layers, volume_size: int,
         d_start, w_slab = args
         zz = jax.lax.dynamic_slice_in_dim(z, d_start, win, axis=1)
         h = jnp.einsum("sd,bdhwc->bshwc", w_slab, zz, precision=precision)
+        h = jnp.einsum("oh,bshwc->bsowc", wh, h, precision=precision)
+        h = jnp.einsum("ow,bshwc->bshoc", ww, h, precision=precision)
         h = jax.nn.relu(h) * g0 + s0
         for (k, b, g, s) in layers[1:]:
             h = jnp.einsum("bshwc,co->bshwo", h, k,

@@ -108,11 +108,18 @@ class Trainer:
         self.profile_epochs = profile_epochs
 
     def _prep(self, batch):
-        """Pad to a device-divisible batch and shard over the mesh."""
+        """Pad to a device-divisible batch and shard over the mesh.
+
+        Padded rows are flagged via '_valid_mask' so loss/metric reductions
+        (models/losses.py masked_mean) exclude them exactly."""
         b = next(iter(batch.values())).shape[0]
         target = -(-b // self.n_dev) * self.n_dev
-        padded, _ = pad_batch_to(batch, target)
-        return shard_batch(padded, self.mesh)
+        padded, real_b = pad_batch_to(batch, target)
+        mask = np.zeros((target,), np.float32)
+        mask[:real_b] = 1.0
+        padded = dict(padded)
+        padded["_valid_mask"] = mask
+        return shard_batch(padded, self.mesh), real_b
 
     def fit(self, init_state, train_step, eval_step, train_loader,
             val_loader, hparams: dict, init_batch=None,
@@ -123,7 +130,7 @@ class Trainer:
         if init_batch is None:
             init_batch = next(iter(train_loader))
         rng, init_rng = jax.random.split(rng)
-        state = init_state(init_rng, self._prep(init_batch))
+        state = init_state(init_rng, self._prep(init_batch)[0])
 
         global_step = 0
         for epoch in range(self.max_epochs):
@@ -139,27 +146,31 @@ class Trainer:
                     break
                 rng, step_rng = jax.random.split(rng)
                 state, metrics = train_step(
-                    state, self._prep(batch), step_rng)
+                    state, self._prep(batch)[0], step_rng)
                 self.logger.log(
                     {f"train_{k}": float(v) for k, v in metrics.items()},
                     step=global_step)
                 global_step += 1
                 n_train += 1
 
-            val_losses = []
+            val_losses, val_weights = [], []
             n_val = 0
             for batch in val_loader:
                 if (self.limit_val_batches is not None
                         and n_val >= self.limit_val_batches):
                     break
-                metrics = eval_step(state, self._prep(batch))
+                prepped, real_b = self._prep(batch)
+                metrics = eval_step(state, prepped)
                 val_losses.append(float(metrics["loss"]))
+                val_weights.append(real_b)
                 self.logger.log(
                     {f"val_{k}": float(v) for k, v in metrics.items()},
                     step=global_step)
                 n_val += 1
-            val_loss = float(np.mean(val_losses)) if val_losses else float(
-                "nan")
+            # sample-exact epoch val loss: each batch mean already excludes
+            # padded rows; weight batches by their real sample count
+            val_loss = (float(np.average(val_losses, weights=val_weights))
+                        if val_losses else float("nan"))
 
             if epoch_vis_fn is not None:
                 epoch_vis_fn(state, epoch, global_step)

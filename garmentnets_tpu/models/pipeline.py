@@ -15,6 +15,7 @@ import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
+from garmentnets_tpu.models.losses import masked_mean
 from garmentnets_tpu.models.mlp import PointMLP
 from garmentnets_tpu.models.pointnet2_nocs import (
     PointNet2NOCS, PointNet2NOCSConfig, logits_to_nocs_bins)
@@ -219,19 +220,22 @@ class ConvImplicitWNFPipeline(nn.Module):
 
 def pipeline_loss(cfg: PipelineConfig, result: dict, batch: dict) -> dict:
     """Weighted volume + surface (+ optional mc-surface BCE) loss
-    (reference infer :405-444)."""
+    (reference infer :405-444). Rows with batch['_valid_mask']==0 (trainer
+    padding) are excluded from every reduction."""
+    mask = batch.get("_valid_mask")
+
     def criterion(pred, gt):
         if cfg.loss_type == "l2":
-            return jnp.mean((pred - gt) ** 2)
+            return masked_mean((pred - gt) ** 2, mask)
         if cfg.loss_type == "smooth_l1":
             d = jnp.abs(pred - gt)
-            return jnp.mean(jnp.where(d < 1.0, 0.5 * d * d, d - 0.5))
+            return masked_mean(jnp.where(d < 1.0, 0.5 * d * d, d - 0.5), mask)
         raise ValueError(f"invalid loss_type {cfg.loss_type!r}")
 
     def bce_logits(logits, target):
-        return jnp.mean(
+        return masked_mean(
             jnp.maximum(logits, 0) - logits * target
-            + jnp.log1p(jnp.exp(-jnp.abs(logits))))
+            + jnp.log1p(jnp.exp(-jnp.abs(logits))), mask)
 
     pred_vol = result["pred_volume_value"]
     gt_vol = batch["gt_volume_value"]

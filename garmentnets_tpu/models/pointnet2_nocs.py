@@ -21,6 +21,7 @@ import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
+from garmentnets_tpu.models.losses import masked_mean
 from garmentnets_tpu.models.pointnet2 import (
     SAModule, GlobalSAModule, FPModule)
 from garmentnets_tpu.ops.virtual_grid import VirtualGrid
@@ -144,7 +145,7 @@ def mirror_nocs_points_by_axis(points, axis: Optional[int]):
     return (points - add) * mul + add
 
 
-def _bin_cross_entropy(cfg, logits, gt_points):
+def _bin_cross_entropy(cfg, logits, gt_points, mask=None):
     """Per-axis CE over nocs bins. logits [...,bins*3]; gt [...,3] in [0,1]."""
     bins = cfg.nocs_bins
     lb = logits.reshape(logits.shape[:-1] + (bins, 3))
@@ -152,7 +153,7 @@ def _bin_cross_entropy(cfg, logits, gt_points):
     gt_idx = vg.get_points_grid_idxs(gt_points)                   # [...,3]
     logp = jax.nn.log_softmax(lb, axis=-2)
     picked = jnp.take_along_axis(logp, gt_idx[..., None, :], axis=-2)
-    return -jnp.mean(picked)
+    return -masked_mean(picked, mask)
 
 
 def get_metrics_bin(cfg: PointNet2NOCSConfig, result: dict, batch: dict,
@@ -161,12 +162,15 @@ def get_metrics_bin(cfg: PointNet2NOCSConfig, result: dict, batch: dict,
     and the mirrored variant of get_metrics_bin_symmetry_helper :341)."""
     gt_nocs = batch["y"]
     gt_grip = batch["nocs_grip_point"]  # [B,3] (collate of (1,3) rows)
+    mask = batch.get("_valid_mask")
     if mirror_axis is not None:
         gt_nocs = mirror_nocs_points_by_axis(gt_nocs, mirror_axis)
         gt_grip = mirror_nocs_points_by_axis(gt_grip, mirror_axis)
 
-    nocs_loss = _bin_cross_entropy(cfg, result["per_point_logits"], gt_nocs)
-    grip_loss = _bin_cross_entropy(cfg, result["global_logits"], gt_grip)
+    nocs_loss = _bin_cross_entropy(
+        cfg, result["per_point_logits"], gt_nocs, mask)
+    grip_loss = _bin_cross_entropy(
+        cfg, result["global_logits"], gt_grip, mask)
     pred_nocs, confidence = logits_to_nocs_bins(
         cfg, result["per_point_logits"])
     pred_grip, _ = logits_to_nocs_bins(cfg, result["global_logits"])
@@ -177,10 +181,10 @@ def get_metrics_bin(cfg: PointNet2NOCSConfig, result: dict, batch: dict,
         "loss": loss,
         "nocs_loss": nocs_loss,
         "grip_point_loss": grip_loss,
-        "nocs_err_dist": jnp.mean(
-            jnp.linalg.norm(pred_nocs - gt_nocs, axis=-1)),
-        "grip_point_err_dist": jnp.mean(
-            jnp.linalg.norm(pred_grip - gt_grip, axis=-1)),
+        "nocs_err_dist": masked_mean(
+            jnp.linalg.norm(pred_nocs - gt_nocs, axis=-1), mask),
+        "grip_point_err_dist": masked_mean(
+            jnp.linalg.norm(pred_grip - gt_grip, axis=-1), mask),
     }
     nocs_data = {
         "x": result["per_point_features"],
@@ -198,24 +202,25 @@ def get_metrics_regression(cfg: PointNet2NOCSConfig, result: dict,
     pred_nocs = result["per_point_logits"]
     pred_grip = result["global_logits"]
     gt_nocs, gt_grip = batch["y"], batch["nocs_grip_point"]
+    mask = batch.get("_valid_mask")
 
     def criterion(pred, gt):
-        mse = jnp.mean((pred - gt) ** 2)
+        mse = masked_mean((pred - gt) ** 2, mask)
         if cfg.symmetry_axis is None:
             return mse
         gt_m = mirror_nocs_points_by_axis(gt, 0)  # MirrorMSELoss mirrors x
-        return jnp.minimum(mse, jnp.mean((pred - gt_m) ** 2))
+        return jnp.minimum(mse, masked_mean((pred - gt_m) ** 2, mask))
 
     nocs_loss = criterion(pred_nocs, gt_nocs)
-    grip_loss = jnp.mean((pred_grip - gt_grip) ** 2)
+    grip_loss = masked_mean((pred_grip - gt_grip) ** 2, mask)
     loss = (cfg.nocs_loss_weight * nocs_loss
             + cfg.grip_point_loss_weight * grip_loss)
     metrics = {
         "loss": loss, "nocs_loss": nocs_loss, "grip_point_loss": grip_loss,
-        "nocs_err_dist": jnp.mean(
-            jnp.linalg.norm(pred_nocs - gt_nocs, axis=-1)),
-        "grip_point_err_dist": jnp.mean(
-            jnp.linalg.norm(pred_grip - gt_grip, axis=-1)),
+        "nocs_err_dist": masked_mean(
+            jnp.linalg.norm(pred_nocs - gt_nocs, axis=-1), mask),
+        "grip_point_err_dist": masked_mean(
+            jnp.linalg.norm(pred_grip - gt_grip, axis=-1), mask),
     }
     nocs_data = {
         "x": result["per_point_features"], "pos": pred_nocs,

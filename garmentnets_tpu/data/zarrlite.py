@@ -7,9 +7,9 @@ of the v2 spec the framework needs, format-compatible with real zarr readers:
 
 - groups (.zgroup), arrays (.zarray), attributes (.zattrs)
 - C-order chunks, any numpy dtype incl. unicode/bytes
-- compressors: null (raw) and zlib (stdlib) — written files are readable by
-  stock zarr/numcodecs. (The reference writes Blosc-zstd; reading those would
-  need the blosc C library, pluggable via register_codec.)
+- compressors: null (raw), zlib (stdlib), and blosc (data/blosc_codec.py —
+  the reference's wire format, Blosc-zstd-bitshuffle per predict.py:75-79);
+  written files are readable by stock zarr/numcodecs and vice versa.
 
 API mirrors the zarr surface the harness uses: open/group/array/attrs/groups.
 """
@@ -177,7 +177,10 @@ class Group:
 
     def array(self, name: str, data, chunks=None, compressor="zlib",
               overwrite: bool = True, **_ignored) -> Array:
-        """Write a numpy array as a zarr v2 array. compressor: 'zlib'|None."""
+        """Write a numpy array as a zarr v2 array.
+
+        compressor: None (raw), 'zlib', 'blosc' (zstd+bitshuffle, the
+        reference's format), or a full compressor-metadata dict."""
         assert self._writable
         data = np.asarray(data)
         apath = self.path / name
@@ -189,8 +192,19 @@ class Group:
         if chunks is None or int(np.prod(chunks) if chunks else 0) == 0:
             chunks = tuple(max(1, s) for s in data.shape) or (1,)
         chunks = tuple(int(c) for c in chunks)
-        comp_meta = ({"id": "zlib", "level": 5}
-                     if compressor == "zlib" else None)
+        if isinstance(compressor, dict):
+            comp_meta = compressor
+        elif compressor == "zlib":
+            comp_meta = {"id": "zlib", "level": 5}
+        elif compressor == "blosc":
+            # reference predict.py:77 / eval.py:910 compressor settings
+            comp_meta = {"id": "blosc", "cname": "zstd", "clevel": 6,
+                         "shuffle": 2, "blocksize": 0}
+        else:
+            assert compressor is None, f"unknown compressor {compressor!r}"
+            comp_meta = None
+        if comp_meta is not None and comp_meta["id"] not in _CODECS:
+            raise ValueError(f"unsupported compressor {comp_meta['id']!r}")
         meta = {
             "zarr_format": 2,
             "shape": list(data.shape),
@@ -215,7 +229,8 @@ class Group:
                 chunk[csel] = data[sel]
                 buf = chunk.tobytes()
                 if comp_meta is not None:
-                    buf = _CODECS["zlib"][0](buf, comp_meta)
+                    cfg = dict(comp_meta, _typesize=data.dtype.itemsize)
+                    buf = _CODECS[comp_meta["id"]][0](buf, cfg)
                 (apath / ".".join(map(str, cidx))).write_bytes(buf)
         return Array(apath, writable=True)
 
@@ -287,6 +302,15 @@ def open(path, mode: str = "r") -> Group:  # noqa: A001 (zarr API parity)
     if mode == "w":
         return Group.create(path, overwrite=True)
     raise ValueError(f"invalid mode {mode!r}")
+
+
+try:
+    from garmentnets_tpu.data import blosc_codec as _blosc
+
+    if _blosc.available():
+        register_codec("blosc", _blosc.zarr_encode, _blosc.zarr_decode)
+except ImportError:  # pragma: no cover - blosc lib and zstandard both absent
+    pass
 
 
 def copy(src, dst_group: Group, name: str, if_exists: str = "replace"):

@@ -123,7 +123,9 @@ def main(cfg, run_dir=None) -> pathlib.Path:
         for column in this_df:
             all_metrics[column] = this_df[column]
             value = np.asarray(this_df[column], np.float64)
-            per_sample_group.array(name=column, data=value)
+            # reference eval.py:910 uses the same Blosc-zstd compressor
+            per_sample_group.array(name=column, data=value,
+                                   compressor="blosc")
             agg_group[column] = np.nanmean(value)
 
     all_metrics_df = pd.DataFrame(all_metrics,

@@ -54,8 +54,12 @@ def _nan_mc_placeholders():
 def _write_group(group, data: dict):
     for key, arr in data.items():
         arr = np.asarray(arr)
+        # Blosc zstd-6 bitshuffle: the reference's prediction.zarr
+        # compressor (predict.py:75-79), so outputs are byte-format
+        # compatible with stock zarr+numcodecs consumers.
         group.array(name=key, data=arr,
-                    chunks=arr.shape if arr.size else None)
+                    chunks=arr.shape if arr.size else None,
+                    compressor="blosc")
 
 
 def process_item(engine, enc_np, item, batch_np, input_group, output_group,
@@ -103,7 +107,7 @@ def process_item(engine, enc_np, item, batch_np, input_group, output_group,
         data = value[:]
         if key == "cloth_verts":
             data = data @ rot_mat.T
-        gt_mesh_out.array(name=key, data=data)
+        gt_mesh_out.array(name=key, data=data, compressor="blosc")
 
     # grip point predictions (reference predict.py:254-279)
     global_logits = enc_np["global_logits"][item]

@@ -88,7 +88,11 @@ class PredictEngine:
         (p2_result, feature_volume) = model.apply(
             variables, x, pos, method=run)
 
-        wnf = dense_decode(feature_volume, self._vd_layers,
+        # swapaxes matches ImplicitWNFDecoder's reference axis-order quirk
+        # (query zyx lookup): dense-decoding the transposed volume at the
+        # xyz lattice equals decoding the volume at the flipped lattice.
+        wnf = dense_decode(jnp.swapaxes(feature_volume, 1, 3),
+                           self._vd_layers,
                            self.volume_size, slab=self._slab,
                            precision=self.precision)
         ggm = gaussian_gradient_magnitude(wnf, self.gradient_sigma)
@@ -190,7 +194,8 @@ class PredictEngine:
             return enc["wnf_volume"]
         if not hasattr(self, "_dense_wnf_fn"):
             self._dense_wnf_fn = jax.jit(
-                lambda fv: dense_decode(fv, self._vd_layers,
+                lambda fv: dense_decode(jnp.swapaxes(fv, 1, 3),
+                                        self._vd_layers,
                                         self.volume_size, slab=self._slab,
                                         precision=self.precision))
         return self._dense_wnf_fn(enc["feature_volume"])

@@ -66,14 +66,23 @@ class VolumeFeatureAggregator(nn.Module):
 
 
 class ImplicitWNFDecoder(nn.Module):
-    """Trilinear feature lookup + MLP head (reference :121-149)."""
+    """Trilinear feature lookup + MLP head (reference :121-149).
+
+    Axis-order quirk preserved for checkpoint parity: unlike the dataset's
+    nocs_grid_sample (reference gridding.py:70, which flips xyz->zyx), the
+    reference decoder feeds query points to F.grid_sample UNFLIPPED
+    (conv_implicit_wnf.py:128-142), so with its [B,C,Gx,Gy,Gz] volume the
+    lookup lands at V[qz, qy, qx]. The trained UNet features live in that
+    convention; converted reference weights only reproduce if we sample the
+    same way, hence the [..., ::-1] below."""
     nn_channels: Sequence[int] = (128, 256, 256, 1)
     batch_norm: bool = True
 
     @nn.compact
     def __call__(self, features_grid, query_points, train: bool = True):
         """features_grid: [B,D,H,W,C]; query_points: [B,M,3] -> [B,M,C']."""
-        sampled = grid_sample_trilinear(features_grid, query_points)
+        sampled = grid_sample_trilinear(features_grid,
+                                        query_points[..., ::-1])
         return PointMLP(self.nn_channels, self.batch_norm,
                         name="mlp")(sampled, train=train)
 

@@ -55,7 +55,11 @@ class SingleConv(nn.Module):
                 if num_channels < groups:
                     groups = 1
                 assert num_channels % groups == 0
-                x = nn.GroupNorm(num_groups=groups, name=f"gn_{i}")(x)
+                # epsilon=1e-5 matches torch GroupNorm (flax defaults to
+                # 1e-6); the difference dominates on near-empty volume
+                # regions where group variance << eps
+                x = nn.GroupNorm(num_groups=groups, epsilon=1e-5,
+                                 name=f"gn_{i}")(x)
             elif ch == "b":
                 x = MaskedBatchNorm(name=f"bn_{i}")(x, train=train)
             elif ch == "r":

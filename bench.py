@@ -48,17 +48,10 @@ def main():
     VOL = int(os.environ.get("BENCH_VOLUME", "128"))
     N_BATCHES = int(os.environ.get("BENCH_BATCHES", "6"))
 
-    # prefer the Pallas FPS kernel when it compiles on this platform
-    if "GARMENTNETS_FPS" not in os.environ:
-        try:
-            from garmentnets_tpu.kernels.fps_pallas import (
-                furthest_point_sampling_pallas)
-            jax.block_until_ready(furthest_point_sampling_pallas(
-                jnp.zeros((1, 256, 3), jnp.float32), 128))
-            os.environ["GARMENTNETS_FPS"] = "pallas"
-            print("using pallas FPS", file=sys.stderr)
-        except Exception:
-            pass
+    # Pallas FPS autodetects in ops/pointcloud (GARMENTNETS_FPS overrides)
+    from garmentnets_tpu.ops.pointcloud import _pallas_fps_available
+    if _pallas_fps_available():
+        print("using pallas FPS", file=sys.stderr)
 
     cfg = PipelineConfig(pointnet2=PointNet2NOCSConfig())
     model = ConvImplicitWNFPipeline(cfg)

@@ -30,14 +30,41 @@ import jax.numpy as jnp
 # ---------------------------------------------------------------------------
 # furthest point sampling
 # ---------------------------------------------------------------------------
+_FPS_USE_PALLAS: bool | None = None
+
+
+def _pallas_fps_available() -> bool:
+    """Compile-probe the Pallas kernel once per process (index-identical to
+    the XLA fallback, ~1.6x faster on v5e); GARMENTNETS_FPS=pallas|xla
+    overrides autodetection."""
+    global _FPS_USE_PALLAS
+    if _FPS_USE_PALLAS is None:
+        import os
+        forced = os.environ.get("GARMENTNETS_FPS")
+        if forced == "pallas":
+            _FPS_USE_PALLAS = True
+        elif forced is not None:          # "xla" or anything else: off
+            _FPS_USE_PALLAS = False
+        elif jax.default_backend() == "cpu":
+            _FPS_USE_PALLAS = False
+        else:
+            try:
+                from garmentnets_tpu.kernels.fps_pallas import (
+                    furthest_point_sampling_pallas)
+                jax.block_until_ready(furthest_point_sampling_pallas(
+                    jnp.zeros((1, 256, 3), jnp.float32), 128))
+                _FPS_USE_PALLAS = True
+            except Exception:
+                _FPS_USE_PALLAS = False
+    return _FPS_USE_PALLAS
+
+
 def furthest_point_sampling(pos, num_samples: int, start_idx=0):
-    """Iterative FPS over a dense batch: dispatches to the Pallas TPU kernel
-    when GARMENTNETS_FPS=pallas (kernels/fps_pallas.py; ~1.6x faster on v5e,
-    fp-reduction ordering may pick ULP-tied points differently), else the XLA
-    fori_loop below."""
-    import os
-    if (os.environ.get("GARMENTNETS_FPS") == "pallas"
-            and jax.default_backend() not in ("cpu",)):
+    """Iterative FPS over a dense batch: the Pallas TPU kernel
+    (kernels/fps_pallas.py) when it compiles on this platform, else the XLA
+    fori_loop below. Start index 0 (deterministic; the reference's
+    torch_geometric fps uses a random start — SURVEY.md §7)."""
+    if _pallas_fps_available():
         from garmentnets_tpu.kernels.fps_pallas import (
             furthest_point_sampling_pallas)
         return furthest_point_sampling_pallas(pos, num_samples)

@@ -352,11 +352,17 @@ class Loader:
     """Minimal batching loader with a background prefetch thread.
 
     Replaces torch DataLoader workers (SURVEY.md §2.5): sampling is numpy on
-    the host; a single prefetch thread overlaps it with device compute.
+    the host; a prefetch thread overlaps it with device compute, and
+    `num_workers` threads parallelize per-item fetches within a batch (the
+    reference's `num_workers: 4` DataLoader processes,
+    datasets/conv_implicit_wnf_dataset.py:539-544 — stage-2 sampling does
+    heavy zarr/zlib/numpy work that releases the GIL). Batch contents and
+    order are identical for any worker count.
     """
 
     def __init__(self, dataset, idxs, batch_size: int, shuffle: bool = False,
-                 seed: int = 0, drop_last: bool = False, prefetch: int = 2):
+                 seed: int = 0, drop_last: bool = False, prefetch: int = 2,
+                 num_workers: int = 0):
         self.dataset = dataset
         self.idxs = np.asarray(idxs)
         self.batch_size = batch_size
@@ -364,6 +370,11 @@ class Loader:
         self.seed = seed
         self.drop_last = drop_last
         self.prefetch = prefetch
+        self.num_workers = num_workers
+        self._pool = None
+        if num_workers and num_workers > 0:
+            from concurrent.futures import ThreadPoolExecutor
+            self._pool = ThreadPoolExecutor(max_workers=num_workers)
         self.epoch = 0
 
     def __len__(self):
@@ -378,8 +389,13 @@ class Loader:
             rs = np.random.RandomState(self.seed + self.epoch)
             order = order[rs.permutation(len(order))]
         for i in range(len(self)):
-            sel = order[i * self.batch_size:(i + 1) * self.batch_size]
-            yield collate([self.dataset[int(j)] for j in sel])
+            sel = [int(j) for j in
+                   order[i * self.batch_size:(i + 1) * self.batch_size]]
+            if self._pool is not None:
+                items = list(self._pool.map(self.dataset.__getitem__, sel))
+            else:
+                items = [self.dataset[j] for j in sel]
+            yield collate(items)
 
     def __iter__(self):
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
@@ -464,15 +480,36 @@ class ConvImplicitWNFDataModule:
         self.train_dataset = train_dataset
         self.val_dataset = val_dataset
 
+    def _process_shard(self, idxs, process_count=None, process_index=None):
+        """Disjoint per-host index shard for multi-host DP (SURVEY.md §2.5
+        'per-host data loading'). Enabled by shard_by_process=True in the
+        datamodule config; every host then loads only its own 1/P of the
+        samples. The tail remainder is dropped so all hosts run the same
+        number of steps (collectives would deadlock otherwise)."""
+        if not self.kwargs.get("shard_by_process", False):
+            return idxs
+        if process_count is None:
+            import jax
+            process_count = jax.process_count()
+            process_index = jax.process_index()
+        if process_count <= 1:
+            return idxs
+        n = (len(idxs) // process_count) * process_count
+        return idxs[process_index:n:process_count]
+
+    def _loader(self, dataset, idxs, **kw) -> Loader:
+        return Loader(dataset, self._process_shard(idxs),
+                      self.kwargs["batch_size"],
+                      num_workers=self.kwargs.get("num_workers", 0), **kw)
+
     def train_dataloader(self) -> Loader:
-        return Loader(self.train_dataset, self.train_idxs,
-                      self.kwargs["batch_size"], shuffle=True,
-                      seed=self.kwargs.get("split_seed", 0), drop_last=True)
+        return self._loader(self.train_dataset, self.train_idxs,
+                            shuffle=True,
+                            seed=self.kwargs.get("split_seed", 0),
+                            drop_last=True)
 
     def val_dataloader(self) -> Loader:
-        return Loader(self.val_dataset, self.val_idxs,
-                      self.kwargs["batch_size"], shuffle=False)
+        return self._loader(self.val_dataset, self.val_idxs, shuffle=False)
 
     def test_dataloader(self) -> Loader:
-        return Loader(self.val_dataset, self.test_idxs,
-                      self.kwargs["batch_size"], shuffle=False)
+        return self._loader(self.val_dataset, self.test_idxs, shuffle=False)

@@ -179,9 +179,15 @@ class ResidualUNet3D(nn.Module):
         rev = list(reversed(f_maps))
         for i in range(len(rev) - 1):
             skip = enc_feats[i + 1]
+            # torch ConvTranspose3d(k=3, s=2, p=1) + output_size plumbing
+            # (reference unet3d.py:320-327, effective output_padding=1)
+            # maps to lax padding (1,2) per spatial dim; transpose_kernel
+            # matches torch's adjoint-convolution weight convention so
+            # converted checkpoints are numerically exact.
             x = nn.ConvTranspose(
                 rev[i + 1], kernel_size=(3, 3, 3), strides=(2, 2, 2),
-                padding="SAME", name=f"upsample_{i}")(x)
+                padding=[(1, 2)] * 3, transpose_kernel=True,
+                name=f"upsample_{i}")(x)
             x = skip + x
             x = ExtResNetBlock(rev[i + 1], rev[i + 1],
                                order=self.layer_order,

@@ -295,6 +295,98 @@ class TwinUNet3D(nn.Module):
         return self.abstract_3d_unet(x)
 
 
+def _single_conv_order(c_in, c_out, order, num_groups):
+    """Reference create_conv (unet3d.py:19-76): modules named by kind, conv
+    bias dropped when a norm is present."""
+    m = nn.Sequential()
+    bias = not ("g" in order or "b" in order)
+    for i, ch in enumerate(order):
+        if ch == "c":
+            m.add_module("conv", nn.Conv3d(c_in, c_out, 3, padding=1,
+                                           bias=bias))
+        elif ch == "g":
+            nch = c_in if i < order.index("c") else c_out
+            g = num_groups if nch >= num_groups else 1
+            m.add_module("groupnorm", nn.GroupNorm(g, nch))
+        elif ch == "e":
+            m.add_module("ELU", nn.ELU())
+        elif ch == "r":
+            m.add_module("ReLU", nn.ReLU())
+    return m
+
+
+class _TwinExtResNetBlock(nn.Module):
+    """Reference ExtResNetBlock (unet3d.py:147-192)."""
+
+    def __init__(self, c_in, c_out, order, num_groups):
+        super().__init__()
+        n_order = order
+        for c in "rel":
+            n_order = n_order.replace(c, "")
+        self.conv1 = _single_conv_order(c_in, c_out, order, num_groups)
+        self.conv2 = _single_conv_order(c_out, c_out, order, num_groups)
+        self.conv3 = _single_conv_order(c_out, c_out, n_order, num_groups)
+        self._act = F.elu if "e" in order else (
+            (lambda t: F.leaky_relu(t, 0.1)) if "l" in order else F.relu)
+
+    def forward(self, x):
+        out = self.conv1(x)
+        residual = out
+        out = self.conv3(self.conv2(out))
+        return self._act(out + residual)
+
+
+class _TwinUpsampling(nn.Module):
+    def __init__(self, c_in, c_out):
+        super().__init__()
+        self.upsample = nn.ConvTranspose3d(c_in, c_out, 3, stride=2,
+                                           padding=1)
+
+
+class _TwinResDecoder(nn.Module):
+    def __init__(self, c_in, c_out, order, num_groups):
+        super().__init__()
+        self.upsampling = _TwinUpsampling(c_in, c_out)
+        self.basic_module = _TwinExtResNetBlock(c_out, c_out, order,
+                                                num_groups)
+
+
+class TwinResidualUNet3D(nn.Module):
+    """Reference ResidualUNet3D (unet3d.py:494-509): ExtResNetBlock,
+    ConvTranspose3d upsampling with output_size plumbing, sum joining."""
+
+    def __init__(self, in_channels, out_channels, f_maps, num_levels,
+                 num_groups, order="cge"):
+        super().__init__()
+        fm = [f_maps * 2 ** k for k in range(num_levels)]
+        encs = []
+        ch = in_channels
+        for o in fm:
+            encs.append(_Stage(_TwinExtResNetBlock(ch, o, order,
+                                                   num_groups)))
+            ch = o
+        self.encoders = nn.ModuleList(encs)
+        rev = list(reversed(fm))
+        self.decoders = nn.ModuleList([
+            _TwinResDecoder(rev[i], rev[i + 1], order, num_groups)
+            for i in range(len(rev) - 1)])
+        self.final_conv = nn.Conv3d(fm[0], out_channels, 1)
+
+    def forward(self, x):
+        feats = []
+        h = x
+        for i, e in enumerate(self.encoders):
+            if i > 0:
+                h = F.max_pool3d(h, 2)
+            h = e.basic_module(h)
+            feats.insert(0, h)
+        for d, skip in zip(self.decoders, feats[1:]):
+            h = d.upsampling.upsample(h, output_size=skip.shape[2:])
+            h = skip + h
+            h = d.basic_module(h)
+        return self.final_conv(h)
+
+
 class TwinImplicitWNFDecoder(nn.Module):
     """Reference ImplicitWNFDecoder (conv_implicit_wnf.py:121-149): NOTE the
     query points go to grid_sample UNFLIPPED (no zyx flip, unlike

@@ -89,38 +89,33 @@ def convert_pointnet2(sd: dict, prefix: str = ""):
     return p, s
 
 
-def _single_conv(sd, prefix):
+def _single_conv(sd, prefix, order="gcr"):
     """Reference SingleConv torch submodules are named by kind (groupnorm /
     conv / batchnorm, unet3d.py:43-76); our flax names are positional
-    (gn_i / conv_i / bn_i). Whether the norm precedes the conv is recovered
-    from channel counts (norm channels == conv in-channels => before)."""
+    (gn_i / conv_i / bn_i), indexed by position in the order string. The
+    caller passes the order ('gcr', 'cge', ... — nonlinearity chars consume
+    an index but carry no params)."""
     params, stats = {}, {}
-    conv_w = sd[f"{prefix}.conv.weight"]
-    norm_before = False
-    for name in ("groupnorm", "batchnorm"):
-        key = f"{prefix}.{name}.weight"
-        if key not in sd:
-            continue
-        before = len(sd[key]) == conv_w.shape[1]
-        norm_before = norm_before or before
-        idx = 0 if before else 2
-        if name == "groupnorm":
-            params[f"gn_{idx}"] = _gn(sd, f"{prefix}.{name}")
-        else:
-            params[f"bn_{idx}"] = _bn_params(sd, f"{prefix}.{name}")
-            stats[f"bn_{idx}"] = _bn_stats(sd, f"{prefix}.{name}")
-    params[f"conv_{1 if norm_before else 0}"] = _conv3d(sd, f"{prefix}.conv")
+    for i, ch in enumerate(order):
+        if ch == "c":
+            params[f"conv_{i}"] = _conv3d(sd, f"{prefix}.conv")
+        elif ch == "g":
+            params[f"gn_{i}"] = _gn(sd, f"{prefix}.groupnorm")
+        elif ch == "b":
+            params[f"bn_{i}"] = _bn_params(sd, f"{prefix}.batchnorm")
+            stats[f"bn_{i}"] = _bn_stats(sd, f"{prefix}.batchnorm")
     return params, stats
 
 
-def convert_unet3d(sd: dict, prefix: str):
+def convert_unet3d(sd: dict, prefix: str, order: str = "gcr"):
     p, s = {}, {}
     i = 0
     while f"{prefix}.encoders.{i}.basic_module.SingleConv1.conv.weight" in sd:
         enc_p, enc_s = {}, {}
         for j, name in ((1, "conv1"), (2, "conv2")):
             cp, cs = _single_conv(
-                sd, f"{prefix}.encoders.{i}.basic_module.SingleConv{j}")
+                sd, f"{prefix}.encoders.{i}.basic_module.SingleConv{j}",
+                order)
             enc_p[name] = cp
             if cs:
                 enc_s[name] = cs
@@ -133,13 +128,61 @@ def convert_unet3d(sd: dict, prefix: str):
         dec_p, dec_s = {}, {}
         for j, name in ((1, "conv1"), (2, "conv2")):
             cp, cs = _single_conv(
-                sd, f"{prefix}.decoders.{i}.basic_module.SingleConv{j}")
+                sd, f"{prefix}.decoders.{i}.basic_module.SingleConv{j}",
+                order)
             dec_p[name] = cp
             if cs:
                 dec_s[name] = cs
         p[f"decoder_{i}"] = dec_p
         if dec_s:
             s[f"decoder_{i}"] = dec_s
+        i += 1
+    p["final_conv"] = _conv3d(sd, f"{prefix}.final_conv")
+    return p, s
+
+
+def _ext_resnet_block(sd, prefix, order):
+    """Reference ExtResNetBlock (unet3d.py:147-192): conv1/conv2 use the
+    full order; conv3 drops the nonlinearity (index layout unchanged)."""
+    n_order = order
+    for c in "rel":
+        n_order = n_order.replace(c, "")
+    p, s = {}, {}
+    for name, o in (("conv1", order), ("conv2", order), ("conv3", n_order)):
+        cp, cs = _single_conv(sd, f"{prefix}.{name}", o)
+        p[name] = cp
+        if cs:
+            s[name] = cs
+    return p, s
+
+
+def convert_residual_unet3d(sd: dict, prefix: str, order: str = "cge"):
+    """ResidualUNet3D (reference unet3d.py:494-509): ExtResNetBlock basic
+    modules, ConvTranspose3d(k3 s2 p1) upsampling (weight [in,out,kd,kh,kw]
+    -> flax transpose_kernel layout [kd,kh,kw,out,in]), sum joining."""
+    p, s = {}, {}
+    i = 0
+    while f"{prefix}.encoders.{i}.basic_module.conv1.conv.weight" in sd:
+        bp, bs = _ext_resnet_block(
+            sd, f"{prefix}.encoders.{i}.basic_module", order)
+        p[f"encoder_{i}"] = bp
+        if bs:
+            s[f"encoder_{i}"] = bs
+        i += 1
+    i = 0
+    while f"{prefix}.decoders.{i}.basic_module.conv1.conv.weight" in sd:
+        bp, bs = _ext_resnet_block(
+            sd, f"{prefix}.decoders.{i}.basic_module", order)
+        p[f"decoder_{i}"] = bp
+        if bs:
+            s[f"decoder_{i}"] = bs
+        w = np.asarray(
+            sd[f"{prefix}.decoders.{i}.upsampling.upsample.weight"])
+        p[f"upsample_{i}"] = {
+            "kernel": np.transpose(w, (2, 3, 4, 1, 0)).copy(),
+            "bias": np.asarray(
+                sd[f"{prefix}.decoders.{i}.upsampling.upsample.bias"]),
+        }
         i += 1
     p["final_conv"] = _conv3d(sd, f"{prefix}.final_conv")
     return p, s

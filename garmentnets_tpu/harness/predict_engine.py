@@ -116,19 +116,31 @@ class PredictEngine:
             out["wnf_volume"] = wnf
         return out
 
-    def _warp_impl(self, variables, feature_volume, ggm, query_points,
-                   vert_voxel_idx):
+    def _warp_impl(self, variables, feature_volume, ggm, query_points_f16):
+        """query_points arrive float16 and results leave float16: the
+        device<->host link is the predict bottleneck (~30 MB/s through the
+        tunnel on this host) and vertex coordinates/warp values only need
+        ~1e-3 relative precision (sub-voxel at 128^3). The voxel index for
+        the gradient-magnitude gather is computed on device instead of
+        being uploaded."""
         model = self.model
+        query_points = query_points_f16.astype(jnp.float32)
         out = model.apply(variables, feature_volume, query_points,
                           train=False, method="surface_decoder_forward")
-        B = ggm.shape[0]
+        B, S = ggm.shape[0], self.volume_size
+        nn_idx = jnp.clip((query_points * (S - 1)).astype(jnp.int32),
+                          0, S - 1)
+        vert_voxel_idx = ((nn_idx[..., 0] * S + nn_idx[..., 1]) * S
+                          + nn_idx[..., 2])
         ggm_flat = ggm.reshape(B, -1)
         ggm_at = jnp.take_along_axis(ggm_flat, vert_voxel_idx, axis=1)
-        res = {"warp_field": out, "verts_ggm": ggm_at}
+        res = {"warp_field": out.astype(jnp.float16),
+               "verts_ggm": ggm_at.astype(jnp.float16)}
         if self.use_hole_prediction:
             res["mc_surface_logits"] = model.apply(
                 variables, feature_volume, query_points, train=False,
-                method="mc_surface_decoder_forward")[..., 0]
+                method="mc_surface_decoder_forward")[..., 0].astype(
+                    jnp.float16)
         return res
 
     # ------------------------------------------------------------------
@@ -210,19 +222,14 @@ class PredictEngine:
         if vmax == 0:
             return (None, sizes)
         padded = -(-vmax // self.warp_bucket) * self.warp_bucket
-        S = self.volume_size
-        spacing = 1.0 / (S - 1)
-        q = np.zeros((B, padded, 3), np.float32)
-        vidx = np.zeros((B, padded), np.int32)
+        q = np.zeros((B, padded, 3), np.float16)
         for b, m in enumerate(meshes):
             if m is None:
                 continue
             verts = m[0]
             q[b, :len(verts)] = verts
-            nn = np.clip((verts / spacing).astype(np.int64), 0, S - 1)
-            vidx[b, :len(verts)] = (nn[:, 0] * S + nn[:, 1]) * S + nn[:, 2]
         out = self._warp(self.variables, enc["feature_volume"],
-                         enc["wnf_ggm"], jnp.asarray(q), jnp.asarray(vidx))
+                         enc["wnf_ggm"], jnp.asarray(q))
         for a in out.values():
             if hasattr(a, "copy_to_host_async"):
                 a.copy_to_host_async()
@@ -254,11 +261,10 @@ class PredictEngine:
     def warp(self, feature_volume, mc_verts: np.ndarray) -> dict:
         v = len(mc_verts)
         padded = -(-max(v, 1) // self.warp_bucket) * self.warp_bucket
-        q = np.zeros((1, padded, 3), np.float32)
+        q = np.zeros((1, padded, 3), np.float16)
         q[0, :v] = mc_verts
         S = self.volume_size
         ggm_dummy = jnp.zeros((1, S, S, S), jnp.float32)
-        vidx = jnp.zeros((1, padded), jnp.int32)
         out = self._warp(self.variables, feature_volume, ggm_dummy,
-                         jnp.asarray(q), vidx)
+                         jnp.asarray(q))
         return {k: np.asarray(a)[0, :v] for k, a in out.items()}

@@ -10,6 +10,15 @@ indirection (a zarr path dereferenced at runtime, eval.py:984-989).
 """
 from __future__ import annotations
 
+import os
+
+# BLAS pin BEFORE numpy import (reference eval.py:3-10): P metric worker
+# processes on P cores must not each spawn a full BLAS thread pool. Only
+# effective when this module is the CLI entry (fresh interpreter).
+for _var in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS",
+             "VECLIB_MAXIMUM_THREADS", "NUMEXPR_NUM_THREADS"):
+    os.environ.setdefault(_var, "1")
+
 import json
 import pathlib
 import sys

@@ -1,12 +1,23 @@
-// Host-side isosurface extraction: marching tetrahedra over a regular grid.
+// Host-side isosurface extraction over a regular grid.
 //
 // TPU-native replacement for skimage.measure.marching_cubes (Cython Lewiner)
-// used by the reference at predict.py:172-177 (SURVEY.md §2.3 #8). The cube is
-// split into 6 tetrahedra around the main diagonal; each tet contributes 0-2
-// triangles with vertices interpolated on tet edges (all of which are grid
-// vertex pairs), welded via an open-addressing hash map so the output is an
-// indexed (verts, faces) mesh like skimage's. Variable-size output keeps this
-// off-device; the predict harness overlaps it with the next batch's TPU work.
+// used by the reference at predict.py:172-177 (SURVEY.md §2.3 #8). Two
+// methods share the vertex-welding infrastructure:
+//
+// - method 0 (default, "cubes"): procedural marching cubes — vertices only
+//   on crossing CUBE edges (same density as Lewiner, ~1 vert/active cube).
+//   Per cube: marching-squares contours on each face (face-ambiguous cases
+//   resolved by the face-center average, which both adjacent cubes compute
+//   identically -> crack-free), contour segments chained into closed loops
+//   (every crossing cube edge lies on exactly 2 faces so the segment graph
+//   has degree 2), each loop fan-triangulated. No case tables to get wrong.
+// - method 1 ("tetrahedra"): 6-tet cube split around the main diagonal;
+//   ~3x more vertices (face/body-diagonal crossings) but simplicial-exact.
+//
+// Vertices are interpolated on grid-vertex pairs and welded via an
+// open-addressing hash map so the output is an indexed (verts, faces) mesh
+// like skimage's. Variable-size output keeps this off-device; the predict
+// harness overlaps it with the next batch's TPU work.
 //
 // Build: g++ -O3 -shared -fPIC -o libmarching.so marching.cpp
 
@@ -22,11 +33,14 @@ struct Mesh {
     std::vector<int32_t> faces; // 3 * nf
 };
 
-// open-addressing hash map: 64-bit edge key -> vertex index
+// open-addressing hash map: 64-bit edge key -> vertex index; grows at 50%
+// load (a fixed capacity would loop forever on noisy volumes whose crossing
+// count exceeds the initial estimate)
 struct EdgeMap {
     std::vector<uint64_t> keys;
     std::vector<int32_t> vals;
     size_t mask;
+    size_t count = 0;
     explicit EdgeMap(size_t expected) {
         size_t cap = 64;
         while (cap < expected * 2) cap <<= 1;
@@ -34,9 +48,28 @@ struct EdgeMap {
         vals.assign(cap, -1);
         mask = cap - 1;
     }
+    void grow() {
+        std::vector<uint64_t> old_keys;
+        std::vector<int32_t> old_vals;
+        old_keys.swap(keys);
+        old_vals.swap(vals);
+        size_t cap = (mask + 1) * 2;
+        keys.assign(cap, UINT64_MAX);
+        vals.assign(cap, -1);
+        mask = cap - 1;
+        for (size_t i = 0; i <= (old_keys.size() - 1); ++i) {
+            if (old_keys[i] == UINT64_MAX) continue;
+            size_t h = (old_keys[i] * 0x9E3779B97F4A7C15ULL) & mask;
+            while (keys[h] != UINT64_MAX) h = (h + 1) & mask;
+            keys[h] = old_keys[i];
+            vals[h] = old_vals[i];
+        }
+    }
     int32_t* slot(uint64_t key) {
+        if (count * 2 >= mask + 1) grow();
         size_t h = (key * 0x9E3779B97F4A7C15ULL) & mask;
         while (keys[h] != UINT64_MAX && keys[h] != key) h = (h + 1) & mask;
+        if (keys[h] == UINT64_MAX) ++count;
         keys[h] = key;
         return &vals[h];
     }
@@ -189,6 +222,106 @@ struct Extractor {
     // 0:(0,0,0) 1:(1,0,0) 2:(1,1,0) 3:(0,1,0)
     // 4:(0,0,1) 5:(1,0,1) 6:(1,1,1) 7:(0,1,1)
     static const int TETS[6][4];
+    static const int EDGE_C[12][2];   // cube edge -> corner pair
+    static const int FACE_C[6][4];    // face -> cyclic corner quad
+    static const int FACE_E[6][4];    // face -> edge between corner k, k+1
+
+    // marching-cubes mode: marching squares per face -> loops -> fans
+    inline void process_cube_mc(int64_t base, const int64_t* off) {
+        float v[8];
+        bool in[8];
+        int n_in = 0;
+        for (int c = 0; c < 8; ++c) {
+            v[c] = val(base + off[c]);
+            in[c] = ascent ? (v[c] > level) : (v[c] < level);
+            n_in += in[c];
+        }
+        if (n_in == 0 || n_in == 8) return;
+
+        int partner[12][2];
+        int pcount[12] = {0};
+        auto add_seg = [&](int ea, int eb) {
+            partner[ea][pcount[ea]++] = eb;
+            partner[eb][pcount[eb]++] = ea;
+        };
+        for (int f = 0; f < 6; ++f) {
+            const int* fc = FACE_C[f];
+            const int* fe = FACE_E[f];
+            int m = (in[fc[0]] ? 1 : 0) | (in[fc[1]] ? 2 : 0)
+                  | (in[fc[2]] ? 4 : 0) | (in[fc[3]] ? 8 : 0);
+            if (m == 0 || m == 15) continue;
+            if (m == 5 || m == 10) {
+                // diagonal (ambiguous): both adjacent cubes see the same 4
+                // values, so deciding by the face-center average keeps the
+                // two triangulations consistent (no cracks)
+                float center = (v[fc[0]] + v[fc[1]] + v[fc[2]] + v[fc[3]])
+                               * 0.25f;
+                bool cin = ascent ? (center > level) : (center < level);
+                // center joined to the inside diagonal -> contour isolates
+                // each OUTSIDE corner; otherwise isolates each inside corner
+                int j0 = (m == 5) == cin ? 1 : 0;
+                add_seg(fe[(j0 + 3) & 3], fe[j0]);
+                add_seg(fe[(j0 + 1) & 3], fe[j0 + 2 & 3]);
+                continue;
+            }
+            // count inside corners on this face
+            int cnt = (m & 1) + ((m >> 1) & 1) + ((m >> 2) & 1)
+                    + ((m >> 3) & 1);
+            if (cnt == 1 || cnt == 3) {
+                int k = 0;  // the isolated corner
+                int want = (cnt == 1);
+                for (int i = 0; i < 4; ++i)
+                    if (((m >> i) & 1) == want) k = i;
+                add_seg(fe[(k + 3) & 3], fe[k]);
+            } else {  // adjacent pair
+                int k = 0;
+                for (int i = 0; i < 4; ++i) {
+                    int j = (i + 1) & 3;
+                    if (((m >> i) & 1) && ((m >> j) & 1)) k = i;
+                }
+                add_seg(fe[(k + 3) & 3], fe[(k + 1) & 3]);
+            }
+        }
+
+        // orientation reference: centroid of inside corners
+        float ref[3] = {0.f, 0.f, 0.f};
+        {
+            float p[3];
+            for (int c = 0; c < 8; ++c) {
+                if (!in[c]) continue;
+                vert_pos(base + off[c], p);
+                ref[0] += p[0]; ref[1] += p[1]; ref[2] += p[2];
+            }
+            ref[0] /= n_in; ref[1] /= n_in; ref[2] /= n_in;
+        }
+
+        bool used[12] = {false};
+        for (int e0 = 0; e0 < 12; ++e0) {
+            if (pcount[e0] == 0 || used[e0]) continue;
+            int loop[12];
+            int n = 0;
+            int prev = -1, cur = e0;
+            do {
+                loop[n++] = cur;
+                used[cur] = true;
+                int nxt = (partner[cur][0] == prev) ? partner[cur][1]
+                                                    : partner[cur][0];
+                prev = cur;
+                cur = nxt;
+            } while (cur != e0 && n < 12);
+            if (n < 3) continue;
+            int32_t vid[12];
+            for (int i = 0; i < n; ++i)
+                vid[i] = edge_vertex(base + off[EDGE_C[loop[i]][0]],
+                                     base + off[EDGE_C[loop[i]][1]]);
+            for (int i = 1; i + 1 < n; ++i) {
+                if (vid[0] == vid[i] || vid[i] == vid[i + 1]
+                        || vid[0] == vid[i + 1])
+                    continue;  // degenerate (crossing at a shared corner)
+                emit(vid[0], vid[i], vid[i + 1], ref);
+            }
+        }
+    }
 
     inline void corner_offsets(int64_t* off) const {
         const int64_t sxv = ny * nz, syv = nz, szv = 1;
@@ -197,7 +330,13 @@ struct Extractor {
         off[7] = syv + szv;
     }
 
+    int method = 0;  // 0 = marching cubes, 1 = marching tetrahedra
+
     inline void process_cube(int64_t base, const int64_t* corner_off) {
+        if (method == 0) {
+            process_cube_mc(base, corner_off);
+            return;
+        }
         for (int t = 0; t < 6; ++t)
             tet(base + corner_off[TETS[t][0]],
                 base + corner_off[TETS[t][1]],
@@ -253,17 +392,34 @@ const int Extractor::TETS[6][4] = {
     {0, 5, 1, 6}, {0, 1, 2, 6}, {0, 2, 3, 6},
     {0, 3, 7, 6}, {0, 7, 4, 6}, {0, 4, 5, 6}};
 
+const int Extractor::EDGE_C[12][2] = {
+    {0, 1}, {1, 2}, {2, 3}, {3, 0},          // bottom ring (z=0)
+    {4, 5}, {5, 6}, {6, 7}, {7, 4},          // top ring (z=1)
+    {0, 4}, {1, 5}, {2, 6}, {3, 7}};         // verticals
+
+const int Extractor::FACE_C[6][4] = {
+    {0, 1, 2, 3}, {4, 5, 6, 7},              // z = 0, 1
+    {0, 1, 5, 4}, {3, 2, 6, 7},              // y = 0, 1
+    {0, 3, 7, 4}, {1, 2, 6, 5}};             // x = 0, 1
+
+const int Extractor::FACE_E[6][4] = {
+    {0, 1, 2, 3}, {4, 5, 6, 7},
+    {0, 9, 4, 8}, {2, 10, 6, 11},
+    {3, 11, 7, 8}, {1, 10, 5, 9}};
+
 }  // namespace
 
 extern "C" {
 
 // Returns 0 on success. Caller frees *verts_out / *faces_out with mt_free.
-int marching_tetrahedra(
+// method: 0 = marching cubes (default), 1 = marching tetrahedra.
+int extract_isosurface(
         const float* vol, int64_t nx, int64_t ny, int64_t nz,
-        float level, float sx, float sy, float sz, int ascent,
+        float level, float sx, float sy, float sz, int ascent, int method,
         float** verts_out, int64_t* nv_out,
         int32_t** faces_out, int64_t* nf_out) {
     Extractor ex(vol, nx, ny, nz, level, sx, sy, sz, ascent != 0);
+    ex.method = method;
     ex.run();
     int64_t nv = (int64_t)(ex.mesh.verts.size() / 3);
     int64_t nf = (int64_t)(ex.mesh.faces.size() / 3);
@@ -280,14 +436,15 @@ int marching_tetrahedra(
 // origin corner; -1 entries are padding) + per-cube corner values in the
 // corner order documented in Extractor. Used by the TPU predict path, which
 // extracts active cubes on device to avoid shipping full volumes to host.
-int marching_tetrahedra_active(
+int extract_isosurface_active(
         const int32_t* cube_idx, const float* corner_vals, int64_t n_active,
         int64_t nx, int64_t ny, int64_t nz,
-        float level, float sx, float sy, float sz, int ascent,
+        float level, float sx, float sy, float sz, int ascent, int method,
         float** verts_out, int64_t* nv_out,
         int32_t** faces_out, int64_t* nf_out) {
     Extractor ex(nullptr, nx, ny, nz, level, sx, sy, sz, ascent != 0,
                  (size_t)n_active);
+    ex.method = method;
     ex.run_active(cube_idx, corner_vals, n_active);
     int64_t nv = (int64_t)(ex.mesh.verts.size() / 3);
     int64_t nf = (int64_t)(ex.mesh.faces.size() / 3);

@@ -1,12 +1,16 @@
-"""Isosurface extraction: ctypes binding for the C++ marching-tetrahedra
-kernel, with a numpy fallback implementing the identical algorithm.
+"""Isosurface extraction: ctypes binding for the C++ kernel (procedural
+marching cubes by default, marching tetrahedra selectable), with pure-Python
+fallbacks implementing the identical algorithms.
 
 Replaces skimage.measure.marching_cubes (reference predict.py:172-177,
-common/marching_cubes_util.py). Deviation note: we extract via marching
-tetrahedra (6-tet cube split) rather than Lewiner MC — the isosurface is the
-same surface sampled slightly differently (more, smaller triangles); all eval
-metrics (chamfer / hausdorff / geodesic) operate on area-weighted surface
-samples, so parity holds at the metric level.
+common/marching_cubes_util.py). Deviation note: the default "cubes" method
+places vertices only on crossing cube edges like Lewiner (same vertex
+density, ~1/active cube); face-ambiguous configurations are resolved by the
+face-center average (identical on both sides of a face, hence crack-free)
+where Lewiner uses full trilinear topology — the surfaces differ only
+sub-voxel in rare saddle cubes, far below eval-metric resolution. The
+"tetrahedra" method (6-tet split, ~3x more vertices) is kept as a
+simplicial-exact alternative.
 
 Signature parity with skimage: marching_cubes(volume, level, spacing,
 gradient_direction) -> (verts, faces, normals, values); raises ValueError when
@@ -46,20 +50,20 @@ def _load_lib():
             ctypes.POINTER(ctypes.POINTER(ctypes.c_int32)),
             ctypes.POINTER(ctypes.c_int64),
         ]
-        lib.marching_tetrahedra.restype = ctypes.c_int
-        lib.marching_tetrahedra.argtypes = [
+        lib.extract_isosurface.restype = ctypes.c_int
+        lib.extract_isosurface.argtypes = [
             ctypes.POINTER(ctypes.c_float),
             ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
             ctypes.c_float, ctypes.c_float, ctypes.c_float, ctypes.c_float,
-            ctypes.c_int,
+            ctypes.c_int, ctypes.c_int,
         ] + out_args
-        lib.marching_tetrahedra_active.restype = ctypes.c_int
-        lib.marching_tetrahedra_active.argtypes = [
+        lib.extract_isosurface_active.restype = ctypes.c_int
+        lib.extract_isosurface_active.argtypes = [
             ctypes.POINTER(ctypes.c_int32),
             ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
             ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
             ctypes.c_float, ctypes.c_float, ctypes.c_float, ctypes.c_float,
-            ctypes.c_int,
+            ctypes.c_int, ctypes.c_int,
         ] + out_args
         lib.mt_free.argtypes = [ctypes.c_void_p]
         _LIB = lib
@@ -68,30 +72,19 @@ def _load_lib():
     return _LIB
 
 
-def _mc_native(vol, level, spacing, ascent):
+_METHOD_CODE = {"cubes": 0, "tetrahedra": 1}
+
+
+def _mc_native(vol, level, spacing, ascent, method="cubes"):
     lib = _load_lib()
     vol = np.ascontiguousarray(vol, np.float32)
     nx, ny, nz = vol.shape
-    verts_p = ctypes.POINTER(ctypes.c_float)()
-    faces_p = ctypes.POINTER(ctypes.c_int32)()
-    nv = ctypes.c_int64()
-    nf = ctypes.c_int64()
-    lib.marching_tetrahedra(
+    return _collect_mesh(lib.extract_isosurface, (
         vol.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
         nx, ny, nz, ctypes.c_float(level),
         ctypes.c_float(spacing[0]), ctypes.c_float(spacing[1]),
         ctypes.c_float(spacing[2]), 1 if ascent else 0,
-        ctypes.byref(verts_p), ctypes.byref(nv),
-        ctypes.byref(faces_p), ctypes.byref(nf))
-    try:
-        verts = np.ctypeslib.as_array(
-            verts_p, shape=(max(nv.value, 1), 3)).copy()[: nv.value]
-        faces = np.ctypeslib.as_array(
-            faces_p, shape=(max(nf.value, 1), 3)).copy()[: nf.value]
-    finally:
-        lib.mt_free(verts_p)
-        lib.mt_free(faces_p)
-    return verts.astype(np.float32), faces.astype(np.int64)
+        _METHOD_CODE[method]))
 
 
 def _collect_mesh(lib_fn, args):
@@ -120,7 +113,8 @@ CUBE_CORNERS = np.array([[0, 0, 0], [1, 0, 0], [1, 1, 0], [0, 1, 0],
 
 def marching_cubes_active(cube_idx: np.ndarray, corner_vals: np.ndarray,
                           dims, level: float, spacing,
-                          gradient_direction: str = "ascent"):
+                          gradient_direction: str = "ascent",
+                          method: str = "cubes"):
     """Isosurface from a device-extracted active-cube list.
 
     cube_idx: [K] flat vertex index of each cube's origin corner (C-order
@@ -134,12 +128,16 @@ def marching_cubes_active(cube_idx: np.ndarray, corner_vals: np.ndarray,
     ascent = gradient_direction == "ascent"
     if _load_lib() is not None:
         lib = _load_lib()
-        verts, faces = _collect_mesh(lib.marching_tetrahedra_active, (
+        verts, faces = _collect_mesh(lib.extract_isosurface_active, (
             cube_idx.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
             corner_vals.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
             len(cube_idx), nx, ny, nz, ctypes.c_float(level),
             ctypes.c_float(spacing[0]), ctypes.c_float(spacing[1]),
-            ctypes.c_float(spacing[2]), 1 if ascent else 0))
+            ctypes.c_float(spacing[2]), 1 if ascent else 0,
+            _METHOD_CODE[method]))
+    elif method == "cubes":
+        verts, faces = _mc_python_cubes_active(
+            cube_idx, corner_vals, dims, level, spacing, ascent)
     else:
         verts, faces = _mc_numpy_active(
             cube_idx, corner_vals, dims, level, spacing, ascent)
@@ -184,7 +182,157 @@ def _mc_numpy_active(cube_idx, corner_vals, dims, level, spacing, ascent):
 
 
 # ---------------------------------------------------------------------------
-# numpy fallback (same algorithm, vectorized over cubes)
+# pure-Python marching cubes (mirror of the C++ method 0; also the oracle)
+# ---------------------------------------------------------------------------
+_EDGE_C = [(0, 1), (1, 2), (2, 3), (3, 0),
+           (4, 5), (5, 6), (6, 7), (7, 4),
+           (0, 4), (1, 5), (2, 6), (3, 7)]
+_FACE_C = [(0, 1, 2, 3), (4, 5, 6, 7), (0, 1, 5, 4),
+           (3, 2, 6, 7), (0, 3, 7, 4), (1, 2, 6, 5)]
+_FACE_E = [(0, 1, 2, 3), (4, 5, 6, 7), (0, 9, 4, 8),
+           (2, 10, 6, 11), (3, 11, 7, 8), (1, 10, 5, 9)]
+
+
+def _cube_mc_segments(v, inside, level, ascent):
+    """Per-cube contour segments as (edge_a, edge_b) pairs (C++ logic)."""
+    segs = []
+    for f in range(6):
+        fc, fe = _FACE_C[f], _FACE_E[f]
+        m = sum(1 << i for i in range(4) if inside[fc[i]])
+        if m in (0, 15):
+            continue
+        if m in (5, 10):
+            center = (v[fc[0]] + v[fc[1]] + v[fc[2]] + v[fc[3]]) * 0.25
+            cin = center > level if ascent else center < level
+            j0 = 1 if (m == 5) == cin else 0
+            segs.append((fe[(j0 + 3) & 3], fe[j0]))
+            segs.append((fe[(j0 + 1) & 3], fe[(j0 + 2) & 3]))
+            continue
+        bits = [(m >> i) & 1 for i in range(4)]
+        cnt = sum(bits)
+        if cnt in (1, 3):
+            want = 1 if cnt == 1 else 0
+            k = [i for i in range(4) if bits[i] == want][0]
+            segs.append((fe[(k + 3) & 3], fe[k]))
+        else:
+            k = [i for i in range(4) if bits[i] and bits[(i + 1) & 3]][0]
+            segs.append((fe[(k + 3) & 3], fe[(k + 1) & 3]))
+    return segs
+
+
+def _chain_loops(segs):
+    partner = {}
+    for a, b in segs:
+        partner.setdefault(a, []).append(b)
+        partner.setdefault(b, []).append(a)
+    used = set()
+    loops = []
+    for e0 in sorted(partner):
+        if e0 in used:
+            continue
+        loop, prev, cur = [], -1, e0
+        while len(loop) < 12:
+            loop.append(cur)
+            used.add(cur)
+            nxt = (partner[cur][1] if partner[cur][0] == prev
+                   else partner[cur][0])
+            prev, cur = cur, nxt
+            if cur == e0:
+                break
+        if len(loop) >= 3:
+            loops.append(loop)
+    return loops
+
+
+def _mc_python_cubes_active(cube_idx, corner_vals, dims, level, spacing,
+                            ascent):
+    """Python mirror of the C++ 'cubes' method over an active-cube list."""
+    nx, ny, nz = dims
+    sp = np.asarray(spacing, np.float32)
+    edge_map = {}
+    verts = []
+    faces = []
+
+    def coords(g):
+        return np.asarray([g // (nz * ny), (g // nz) % ny, g % nz],
+                          np.float32)
+
+    def edge_vertex(ga, gb, va, vb):
+        if ga > gb:
+            ga, gb, va, vb = gb, ga, vb, va
+        key = (ga, gb)
+        if key in edge_map:
+            return edge_map[key]
+        # float32 throughout, bit-matching the C++ kernel
+        va = np.float32(va)
+        vb = np.float32(vb)
+        t = ((np.float32(level) - va) / (vb - va) if vb != va
+             else np.float32(0.5))
+        t = min(max(t, np.float32(0.0)), np.float32(1.0))
+        ca, cb = coords(ga), coords(gb)
+        p = (ca + np.float32(t) * (cb - ca)) * sp
+        edge_map[key] = len(verts)
+        verts.append(p)
+        return edge_map[key]
+
+    corner_off = (CUBE_CORNERS[:, 0] * ny + CUBE_CORNERS[:, 1]) * nz \
+        + CUBE_CORNERS[:, 2]
+    for ci in range(len(cube_idx)):
+        base = int(cube_idx[ci])
+        if base < 0:
+            continue
+        v = corner_vals[ci]
+        inside = [(v[c] > level if ascent else v[c] < level)
+                  for c in range(8)]
+        n_in = sum(inside)
+        if n_in in (0, 8):
+            continue
+        segs = _cube_mc_segments(v, inside, level, ascent)
+        ref = np.mean([coords(base + corner_off[c]) * sp
+                       for c in range(8) if inside[c]], axis=0)
+        for loop in _chain_loops(segs):
+            vid = [edge_vertex(base + corner_off[_EDGE_C[e][0]],
+                               base + corner_off[_EDGE_C[e][1]],
+                               float(v[_EDGE_C[e][0]]),
+                               float(v[_EDGE_C[e][1]])) for e in loop]
+            for i in range(1, len(vid) - 1):
+                a, b, c = vid[0], vid[i], vid[i + 1]
+                if a == b or b == c or a == c:
+                    continue
+                pa, pb, pc = verts[a], verts[b], verts[c]
+                n = np.cross(pb - pa, pc - pa)
+                if np.dot(n, (pa + pb + pc) / 3 - ref) < 0:
+                    b, c = c, b
+                faces.append((a, b, c))
+
+    if not verts:
+        return np.zeros((0, 3), np.float32), np.zeros((0, 3), np.int64)
+    return (np.asarray(verts, np.float32),
+            np.asarray(faces, np.int64).reshape(-1, 3))
+
+
+def _mc_python_cubes(vol, level, spacing, ascent):
+    """Dense-volume wrapper over the python cubes method (fallback path)."""
+    nx, ny, nz = vol.shape
+    flat = np.ascontiguousarray(vol, np.float32).reshape(-1)
+    inside = (flat > level) if ascent else (flat < level)
+    gx, gy, gz = np.meshgrid(np.arange(nx - 1), np.arange(ny - 1),
+                             np.arange(nz - 1), indexing="ij")
+    base = ((gx * ny + gy) * nz + gz).reshape(-1)
+    corner_off = (CUBE_CORNERS[:, 0] * ny + CUBE_CORNERS[:, 1]) * nz \
+        + CUBE_CORNERS[:, 2]
+    corners = base[:, None] + corner_off[None, :]
+    b = inside[corners]
+    active = b.any(1) & (~b).any(1)
+    if not active.any():
+        raise ValueError("no surface found at given iso level")
+    return _mc_python_cubes_active(
+        base[active].astype(np.int64), flat[corners[active]],
+        (nx, ny, nz), level, spacing, ascent)
+
+
+# ---------------------------------------------------------------------------
+# numpy fallback for the tetrahedra method (vectorized over cubes)
 # ---------------------------------------------------------------------------
 _TETS = np.array([[0, 5, 1, 6], [0, 1, 2, 6], [0, 2, 3, 6],
                   [0, 3, 7, 6], [0, 7, 4, 6], [0, 4, 5, 6]])
@@ -283,12 +431,14 @@ def _vertex_normals_from_gradient(vol, verts, spacing):
 def marching_cubes(volume: np.ndarray, level: float,
                    spacing: Tuple[float, float, float] = (1.0, 1.0, 1.0),
                    gradient_direction: str = "ascent",
-                   method: str = "tetrahedra",
+                   method: str = "cubes",
                    ) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
     """skimage.measure.marching_cubes-compatible facade.
 
-    Raises ValueError if `level` is outside the volume's value range
-    (predict's NaN-sentinel protocol depends on this, predict.py:165-189).
+    method: 'cubes' (Lewiner-density, default) or 'tetrahedra' (module
+    docstring). Raises ValueError if `level` is outside the volume's value
+    range (predict's NaN-sentinel protocol depends on this,
+    predict.py:165-189).
     """
     volume = np.asarray(volume, np.float32)
     if not (volume.min() < level < volume.max()):
@@ -297,7 +447,9 @@ def marching_cubes(volume: np.ndarray, level: float,
             f"[{volume.min()}, {volume.max()}]")
     ascent = gradient_direction == "ascent"
     if _load_lib() is not None:
-        verts, faces = _mc_native(volume, level, spacing, ascent)
+        verts, faces = _mc_native(volume, level, spacing, ascent, method)
+    elif method == "cubes":
+        verts, faces = _mc_python_cubes(volume, level, spacing, ascent)
     else:
         verts, faces = _mc_numpy(volume, level, spacing, ascent)
     if len(verts) == 0:

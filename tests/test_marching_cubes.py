@@ -32,14 +32,13 @@ def test_sphere_isosurface_accuracy():
     assert np.median(align) > 0.9
 
 
-def test_native_and_numpy_agree():
+def test_native_and_numpy_agree_tetrahedra():
     if _load_lib() is None:
         pytest.skip("native lib unavailable")
     vol = _sphere_volume(16)
     sp = (1 / 15,) * 3
-    v1, f1 = __import__(
-        "garmentnets_tpu.ops.marching_cubes",
-        fromlist=["_mc_native"])._mc_native(vol, 0.0, sp, True)
+    from garmentnets_tpu.ops.marching_cubes import _mc_native
+    v1, f1 = _mc_native(vol, 0.0, sp, True, method="tetrahedra")
     v2, f2 = _mc_numpy(vol, 0.0, sp, True)
     assert len(v1) == len(v2)
     assert len(f1) == len(f2)
@@ -47,6 +46,61 @@ def test_native_and_numpy_agree():
     s1 = set(map(tuple, np.round(v1, 5)))
     s2 = set(map(tuple, np.round(v2, 5)))
     assert s1 == s2
+
+
+def test_native_and_python_agree_cubes():
+    if _load_lib() is None:
+        pytest.skip("native lib unavailable")
+    from garmentnets_tpu.ops.marching_cubes import (
+        _mc_native, _mc_python_cubes)
+    rng = np.random.RandomState(0)
+    for vol in (_sphere_volume(16),
+                rng.rand(9, 10, 11).astype(np.float32) - 0.5):
+        sp = (0.1, 0.11, 0.12)
+        v1, f1 = _mc_native(vol, 0.0, sp, True, method="cubes")
+        v2, f2 = _mc_python_cubes(vol, 0.0, sp, True)
+        assert len(v1) == len(v2) and len(f1) == len(f2)
+        s1 = set(map(tuple, np.round(v1, 5)))
+        s2 = set(map(tuple, np.round(v2, 5)))
+        assert s1 == s2
+
+
+def _edge_use_counts(faces):
+    e = np.concatenate([faces[:, [0, 1]], faces[:, [1, 2]], faces[:, [2, 0]]])
+    e.sort(axis=1)
+    key = e[:, 0].astype(np.int64) * (1 << 32) + e[:, 1]
+    _, counts = np.unique(key, return_counts=True)
+    return counts
+
+
+def test_cubes_method_watertight_and_lean():
+    """The default method must be crack-free (every edge on an even number
+    of faces; exactly 2 for a smooth closed surface) with Lewiner-like
+    vertex density (~3x fewer verts than tetrahedra)."""
+    vol = _sphere_volume(32)
+    sp = (1 / 31,) * 3
+    vc, fc, _, _ = marching_cubes(vol, 0.0, spacing=sp, method="cubes")
+    vt, ft, _, _ = marching_cubes(vol, 0.0, spacing=sp, method="tetrahedra")
+    assert len(vc) * 2 < len(vt)
+    assert set(_edge_use_counts(fc)) == {2}          # closed 2-manifold
+    # noisy field: no odd-count edges anywhere (no cracks; even-count fins
+    # from rare ambiguous configurations are allowed)
+    rng = np.random.RandomState(1)
+    noisy = rng.rand(10, 10, 10).astype(np.float32) - 0.5
+    v, f, _, _ = marching_cubes(noisy, 0.0, spacing=(1, 1, 1))
+    counts = _edge_use_counts(f)
+    boundary = np.asarray([0.0, 9.0])
+    # interior edges must be even-count; volume-border edges may be open
+    e = np.concatenate([f[:, [0, 1]], f[:, [1, 2]], f[:, [2, 0]]])
+    e.sort(axis=1)
+    key = e[:, 0].astype(np.int64) * (1 << 32) + e[:, 1]
+    uniq, counts = np.unique(key, return_counts=True)
+    odd = uniq[counts % 2 == 1]
+    for k in odd:
+        a, b = int(k) >> 32, int(k) & 0xFFFFFFFF
+        for p in (v[a], v[b]):
+            assert (np.isclose(p, 0).any() or np.isclose(p, 9).any()), (
+                "crack: odd-count edge off the volume border")
 
 
 def test_level_out_of_range_raises():

@@ -78,7 +78,7 @@ def main():
     B = int(os.environ.get("BENCH_BATCH", "8"))
     N = 6000
     VOL = int(os.environ.get("BENCH_VOLUME", "128"))
-    N_BATCHES = int(os.environ.get("BENCH_BATCHES", "6"))
+    N_BATCHES = int(os.environ.get("BENCH_BATCHES", "10"))
 
     # Pallas FPS autodetects in ops/pointcloud (GARMENTNETS_FPS overrides)
     from garmentnets_tpu.ops.pointcloud import _pallas_fps_available

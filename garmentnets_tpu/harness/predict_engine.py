@@ -41,7 +41,10 @@ class PredictEngine:
                  iso_level: float = 0.5, gradient_direction: str = "ascent",
                  mesh=None, warp_bucket: int = 8192,
                  active_cap: int = 65536,
-                 precision=jax.lax.Precision.HIGHEST,
+                 # HIGH = bf16_3x matmuls: ~25% faster dense decode than
+                 # HIGHEST at ~3e-5 absolute WNF error (sub-1e-4 vertex
+                 # shifts, far below eval-metric resolution)
+                 precision=jax.lax.Precision.HIGH,
                  return_volume: bool = False,
                  use_hole_prediction: bool = False):
         self.cfg = cfg
@@ -156,7 +159,12 @@ class PredictEngine:
 
     def prefetch(self, enc: dict, extra_keys=()):
         """Start async device->host copies for the arrays the host stage will
-        read; overlaps the slow link with device compute and host MC."""
+        read; overlaps the slow link with device compute and host MC.
+        (Measured: slicing the active arrays to the true count before the
+        copy saves bytes but loses — it serializes a counts round-trip and
+        the slice dispatch onto the critical path, where the early
+        full-capacity async copy overlaps with the previous batch's host
+        work. 18.0 vs 5.3 garments/sec on the ~30 MB/s tunnel.)"""
         for key in tuple(self.PREFETCH_KEYS) + tuple(extra_keys):
             arr = enc.get(key)
             if arr is not None and hasattr(arr, "copy_to_host_async"):

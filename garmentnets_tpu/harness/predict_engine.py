@@ -40,7 +40,7 @@ class PredictEngine:
                  volume_size: int = 128, gradient_sigma: float = 0.5,
                  iso_level: float = 0.5, gradient_direction: str = "ascent",
                  mesh=None, warp_bucket: int = 8192,
-                 active_cap: int = 65536,
+                 active_cap: Optional[int] = None,
                  # HIGH = bf16_3x matmuls: ~25% faster dense decode than
                  # HIGHEST at ~3e-5 absolute WNF error (sub-1e-4 vertex
                  # shifts, far below eval-metric resolution)
@@ -55,6 +55,12 @@ class PredictEngine:
         self.iso_level = float(iso_level)
         self.gradient_direction = gradient_direction
         self.warp_bucket = warp_bucket
+        if active_cap is None:
+            # active cubes scale with iso-surface AREA ~ volume_size^2; the
+            # 128^3 default (65536 ~ 2x a calibrated cloth load) scales up
+            # for the 256^3 stretch config so it doesn't hit the
+            # full-volume overflow fallback
+            active_cap = 65536 * max(1, (volume_size // 128) ** 2)
         self.active_cap = active_cap
         self.precision = precision
         self.return_volume = return_volume

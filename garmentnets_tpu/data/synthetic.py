@@ -28,8 +28,11 @@ from garmentnets_tpu.ops.marching_cubes import marching_cubes
 from garmentnets_tpu.ops.gaussian import gaussian_gradient_magnitude
 
 
-def make_cloth_mesh(res: int = 12, rng: np.random.RandomState | None = None):
-    """Rectangular cloth grid in NOCS space with mild waviness."""
+def make_cloth_mesh(res: int = 12, rng: np.random.RandomState | None = None,
+                    thickness: float = 0.08):
+    """Wavy cloth slab in NOCS space: a CLOSED thin shell (two offset sheets
+    + boundary walls), like a real garment's winding-number support — the
+    WNF is ~1 inside and ~0 outside, so the 0.5 iso always crosses."""
     rng = rng or np.random.RandomState(0)
     u = np.linspace(0.2, 0.8, res)
     v = np.linspace(0.15, 0.85, res)
@@ -37,14 +40,30 @@ def make_cloth_mesh(res: int = 12, rng: np.random.RandomState | None = None):
     amp = 0.04 + 0.03 * rng.rand()
     phase = rng.rand() * np.pi
     zz = 0.5 + amp * np.sin(uu * 9 + phase) * np.cos(vv * 7)
-    nocs_verts = np.stack(
-        [uu.ravel(), vv.ravel(), zz.ravel()], axis=1).astype(np.float32)
+    n = res * res
+    top = np.stack([uu.ravel(), vv.ravel(),
+                    zz.ravel() + thickness / 2], axis=1)
+    bot = np.stack([uu.ravel(), vv.ravel(),
+                    zz.ravel() - thickness / 2], axis=1)
+    nocs_verts = np.concatenate([top, bot]).astype(np.float32)
+
     quads = []
     for i in range(res - 1):
         for j in range(res - 1):
             a = i * res + j
-            quads.append([a, a + 1, a + res + 1, a + res])
+            quads.append([a, a + 1, a + res + 1, a + res])          # top
+            b = a + n
+            quads.append([b, b + res, b + res + 1, b + 1])          # bottom
+    # boundary walls stitch the two sheets into a closed surface
+    ring = ([i * res for i in range(res)]                           # j = 0
+            + [(res - 1) * res + j for j in range(1, res)]          # i = max
+            + [i * res + (res - 1) for i in range(res - 2, -1, -1)]
+            + [j for j in range(res - 2, 0, -1)])                   # i = 0
+    for k in range(len(ring)):
+        a, b = ring[k], ring[(k + 1) % len(ring)]
+        quads.append([a, b, b + n, a + n])
     faces = geometry.quads2tris(np.asarray(quads, np.int64))
+    faces = np.ascontiguousarray(faces[:, ::-1])   # outward orientation
     return nocs_verts, faces
 
 
@@ -58,13 +77,16 @@ def deform_to_sim(nocs_verts: np.ndarray, grip_idx: int,
     g = nocs_verts[grip_idx]
     rel = nocs_verts - g
     r = np.linalg.norm(rel[:, :2], axis=1)
-    droop = -0.8 * r - 0.2 * r ** 2
+    droop = -0.6 * r - 0.15 * r ** 2
+    # keep the map injective (no fold-through): mild lateral contraction and
+    # z compression, so the deformed shell stays a valid closed surface and
+    # its sim-space winding number field is well-defined in [0, 1]
     sim = np.stack([
-        rel[:, 0] * (1 - 0.4 * r),
-        rel[:, 1] * (1 - 0.4 * r),
-        rel[:, 2] * 0.3 + droop,
+        rel[:, 0] * (1 - 0.25 * r),
+        rel[:, 1] * (1 - 0.25 * r),
+        rel[:, 2] * 0.55 + droop,
     ], axis=1) * scale
-    sim += rng.normal(0, 0.003, sim.shape)
+    sim += rng.normal(0, 0.002, sim.shape)
     sim[grip_idx] = 0.0
     return sim.astype(np.float32)
 
@@ -97,6 +119,7 @@ def generate_dataset(path, num_instances: int = 3, grips_per_instance: int = 2,
     rng = np.random.RandomState(seed)
 
     aabbs, nocs_aabbs = [], []
+    sim_records = []
     for inst in range(num_instances):
         nocs_verts, faces = make_cloth_mesh(mesh_res, rng)
         # GT WNF volume of the canonical mesh (shared across grips)
@@ -153,6 +176,7 @@ def generate_dataset(path, num_instances: int = 3, grips_per_instance: int = 2,
             vol = g.require_group("volume")
             wnf_g = vol.require_group("nocs_winding_number_field")
             wnf_g.array(str(volume_size), wnf.astype(np.float32))
+            sim_records.append((g, sim_verts, faces))
 
             aabbs.append(geometry.get_aabb(sim_verts))
             nocs_aabbs.append(geometry.get_aabb(nocs_verts))
@@ -160,9 +184,25 @@ def generate_dataset(path, num_instances: int = 3, grips_per_instance: int = 2,
     summary = root.require_group("summary")
     aabbs = np.asarray(aabbs)
     nocs_aabbs = np.asarray(nocs_aabbs)
-    summary.array("cloth_aabb_union", np.stack(
-        [aabbs[:, 0].min(0), aabbs[:, 1].max(0)]).astype(np.float32))
+    aabb_union = np.stack(
+        [aabbs[:, 0].min(0), aabbs[:, 1].max(0)]).astype(np.float32)
+    summary.array("cloth_aabb_union", aabb_union)
     summary.array("cloth_canonical_aabb_union", np.stack(
         [nocs_aabbs[:, 0].min(0), nocs_aabbs[:, 1].max(0)]).astype(
             np.float32))
+
+    # second pass: the task-space GT volume (reference volume group
+    # 'sim_nocs_winding_number_field') is the WNF of the SIM-space mesh
+    # normalized by the dataset-level union AABB, which only exists after
+    # all grips are generated
+    normalizer = geometry.AABBGripNormalizer(aabb_union)
+    vg_axes = np.linspace(0, 1, volume_size, dtype=np.float32)
+    qx, qy, qz = np.meshgrid(vg_axes, vg_axes, vg_axes, indexing="ij")
+    q = np.stack([qx.ravel(), qy.ravel(), qz.ravel()], axis=1)
+    for g, sim_verts, faces in sim_records:
+        sim_wnf = geometry.winding_number(
+            q, normalizer(sim_verts).astype(np.float32), faces).reshape(
+                (volume_size,) * 3)
+        sg = g["volume"].require_group("sim_nocs_winding_number_field")
+        sg.array(str(volume_size), sim_wnf.astype(np.float32))
     return root

@@ -167,7 +167,9 @@ def main(cfg, run_dir=None) -> pathlib.Path:
         gradient_sigma=pred_cfg["gradient_sigma"],
         iso_level=pred_cfg["iso_surface_level"],
         gradient_direction=pred_cfg["gradient_direction"],
-        use_hole_prediction=bool(pred_cfg.get("use_hole_prediction")))
+        use_hole_prediction=bool(pred_cfg.get("use_hole_prediction")),
+        task_aabb=(val_dataset.cloth_sim_aabb
+                   if pipe_cfg.volume_task_space else None))
 
     t_start = time.time()
     n_done = 0

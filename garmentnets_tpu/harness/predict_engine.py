@@ -46,7 +46,8 @@ class PredictEngine:
                  # shifts, far below eval-metric resolution)
                  precision=jax.lax.Precision.HIGH,
                  return_volume: bool = False,
-                 use_hole_prediction: bool = False):
+                 use_hole_prediction: bool = False,
+                 task_aabb: Optional[np.ndarray] = None):
         self.cfg = cfg
         self.model = ConvImplicitWNFPipeline(cfg)
         self.variables = variables
@@ -66,6 +67,15 @@ class PredictEngine:
         self.return_volume = return_volume
         self.use_hole_prediction = (use_hole_prediction
                                     and cfg.has_mc_surface_decoder)
+        # task-space variant (reference apply_volume_task_space :279-295):
+        # the dataset-level sim AABB is a per-dataset constant, baked into
+        # the jitted encode
+        if cfg.volume_task_space and task_aabb is None:
+            raise ValueError(
+                "cfg.volume_task_space=True requires task_aabb "
+                "(dataset.cloth_sim_aabb, shape [2,3])")
+        self.task_aabb = (None if task_aabb is None
+                          else np.asarray(task_aabb, np.float32))
         self.mesh = mesh
 
         vd = variables["params"]["volume_decoder"]["mlp"]
@@ -91,6 +101,11 @@ class PredictEngine:
 
         def run(mdl, batch_x, batch_pos):
             p2 = mdl.pointnet2_forward(batch_x, batch_pos)
+            if self.cfg.volume_task_space:
+                aabb = jnp.broadcast_to(
+                    jnp.asarray(self.task_aabb),
+                    (batch_pos.shape[0], 2, 3))
+                p2 = mdl.apply_volume_task_space(batch_pos, aabb, p2)
             vol = mdl.unet3d_forward(p2["nocs_data"], train=False)
             return p2, vol
 

@@ -113,7 +113,7 @@ def main():
     cloth_wnf = _cloth_like_wnf(VOL, heavy=heavy)
     base, vals, counts = extract_active_cubes(
         jnp.asarray(np.broadcast_to(cloth_wnf, (B,) + cloth_wnf.shape)),
-        0.5, engine.active_cap)
+        0.5, engine.active_cap, quantize=True)
     n_active = int(np.asarray(counts)[0])
     print(f"cloth WNF active cubes/garment: {n_active} "
           f"(cap {engine.active_cap}, heavy={heavy})", file=sys.stderr)

@@ -121,7 +121,7 @@ class PredictEngine:
                            precision=self.precision)
         ggm = gaussian_gradient_magnitude(wnf, self.gradient_sigma)
         base, vals, counts = extract_active_cubes(
-            wnf, self.iso_level, self.active_cap)
+            wnf, self.iso_level, self.active_cap, quantize=True)
 
         nd = p2_result["nocs_data"]
         out = {
@@ -215,8 +215,9 @@ class PredictEngine:
                 except ValueError:
                     pass
             return results
+        from garmentnets_tpu.ops.isosurface import dequantize_vals
         base = np.asarray(enc["active_base"])
-        vals = np.asarray(enc["active_vals"]).astype(np.float32)
+        vals = dequantize_vals(enc["active_vals"], self.iso_level)
         for b in range(B):
             n = int(counts[b])
             if n == 0:

@@ -20,15 +20,25 @@ import jax.numpy as jnp
 from garmentnets_tpu.ops.marching_cubes import CUBE_CORNERS
 
 
-@functools.partial(jax.jit, static_argnames=("level", "cap"))
-def extract_active_cubes(wnf: jax.Array, level: float, cap: int):
-    """wnf: [B, S, S, S] -> (base_idx [B,cap] i32 (-1 pad), vals [B,cap,8]
-    f16, counts [B] i32).
+VAL_QUANT_SCALE = 254.0  # int8 mode: (v - level) * 254 in [-127, 127]
+
+
+@functools.partial(jax.jit, static_argnames=("level", "cap", "quantize"))
+def extract_active_cubes(wnf: jax.Array, level: float, cap: int,
+                         quantize: bool = False):
+    """wnf: [B, S, S, S] -> (base_idx [B,cap] i32 (-1 pad), vals [B,cap,8],
+    counts [B] i32).
 
     base_idx is the flat C-order index of each active cube's origin vertex.
     counts may exceed cap (host should detect overflow and fall back to the
     full-volume path).
-    """
+
+    vals dtype: f16, or int8 when quantize=True — (v-level)*VAL_QUANT_SCALE
+    saturated to [-127,127]; the d2h link is the predict bottleneck and the
+    int8 halves the dominant transfer. Dequantized corner values shift MC
+    vertices by at most (1/254)/|corner gap| of a voxel — sub-1% at real
+    iso crossings; shared corners quantize identically so the mesh stays
+    crack-free. Host side dequantizes via dequantize_vals()."""
     B, S = wnf.shape[0], wnf.shape[1]
     inside = wnf > level
     corner_slices = [
@@ -68,4 +78,17 @@ def extract_active_cubes(wnf: jax.Array, level: float, cap: int):
         wnf.reshape(B, -1), gather_idx.reshape(B, -1),
         axis=1).reshape(B, cap, 8)
     base = jnp.where(cube_idx >= 0, base, -1).astype(jnp.int32)
+    if quantize:
+        q = jnp.clip(jnp.round((vals - level) * VAL_QUANT_SCALE),
+                     -127, 127).astype(jnp.int8)
+        return base, q, counts
     return base, vals.astype(jnp.float16), counts
+
+
+def dequantize_vals(vals, level: float):
+    """Host-side inverse of the int8 quantization (no-op for float vals)."""
+    import numpy as np
+    vals = np.asarray(vals)
+    if vals.dtype == np.int8:
+        return vals.astype(np.float32) / VAL_QUANT_SCALE + level
+    return vals.astype(np.float32)

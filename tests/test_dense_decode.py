@@ -101,3 +101,27 @@ def test_active_cubes_f16_precision():
         (n, n, n), 0.5, spacing)
     d = np.linalg.norm(v16 - 0.5, axis=1)
     assert np.abs(d - 0.3).max() < 2.0 / (n - 1)
+
+
+def test_active_cubes_int8_quantization_subvoxel():
+    """int8-quantized corner values (the d2h transfer optimization) must
+    move MC vertices by well under a voxel vs the f16 path."""
+    from garmentnets_tpu.ops.isosurface import dequantize_vals
+    n = 24
+    vol = jnp.asarray(_sphere(n)[None])
+    spacing = (1.0 / (n - 1),) * 3
+    meshes = []
+    for quant in (False, True):
+        base, vals, counts = extract_active_cubes(vol, 0.5, 4096,
+                                                  quantize=quant)
+        k = int(np.asarray(counts)[0])
+        v, f = marching_cubes_active(
+            np.asarray(base)[0, :k],
+            dequantize_vals(np.asarray(vals)[0, :k], 0.5),
+            (n, n, n), 0.5, spacing)
+        meshes.append((v, f))
+    (v0, f0), (v1, f1) = meshes
+    assert len(v0) == len(v1) and len(f0) == len(f1)
+    # same welded topology -> same vertex ordering; compare directly
+    d = np.abs(v0 - v1).max()
+    assert d < 0.25 * spacing[0], d

@@ -149,3 +149,43 @@ def test_wnf_and_warp_match(ours, theirs):
     np.testing.assert_allclose(
         np.asarray(ours["pred_mc_surface_logits"])[..., 0],  # ours: [B,M,1]
         theirs["pred_mc_surface_logits"].numpy(), rtol=1e-3, atol=5e-4)
+
+
+def test_predict_engine_dense_wnf_matches_twin(twin, inputs):
+    """The engine's separable-matmul dense decode (which bypasses the
+    ImplicitWNFDecoder module) must reproduce the twin's grid_sample+MLP
+    decode at the full lattice with converted weights — covering the
+    axis-order quirk on the fused path."""
+    from garmentnets_tpu.harness.predict_engine import PredictEngine
+    sd = {k: v.detach().numpy() for k, v in twin.state_dict().items()}
+    params, stats = cc.convert_pipeline(sd)
+    cfg = PipelineConfig(
+        pointnet2=PointNet2NOCSConfig(
+            feature_dim=FEAT, nocs_bins=BINS, sa1_r=SA1_R, sa2_r=SA2_R),
+        volume_agg_nn_channels=(FEAT + 9, 64, 32), grid_shape=(16, 16, 16),
+        unet_in_channels=32, unet_out_channels=32, unet_f_maps=8,
+        unet_num_levels=2, unet_num_groups=4,
+        volume_decoder_channels=(32, 16, 1),
+        surface_decoder_channels=(32, 16, 3),
+        mc_surface_decoder_channels=(32, 16, 1),
+        mc_surface_loss_weight=1.0)
+    VOL = 16
+    engine = PredictEngine(cfg, {"params": params, "batch_stats": stats},
+                           volume_size=VOL, gradient_sigma=0.5,
+                           return_volume=True,
+                           precision=jax.lax.Precision.HIGHEST)
+    enc = engine.encode(inputs["x"], inputs["pos"])
+    wnf = np.asarray(enc["wnf_volume"])                   # [B,VOL,VOL,VOL]
+
+    ax = np.linspace(0, 1, VOL, dtype=np.float32)
+    gx, gy, gz = np.meshgrid(ax, ax, ax, indexing="ij")
+    lattice = np.stack([gx.ravel(), gy.ravel(), gz.ravel()], 1)
+    lat_t = torch.from_numpy(np.broadcast_to(
+        lattice[None], (B,) + lattice.shape).copy())
+    with torch.no_grad():
+        p2 = twin.pointnet2_forward(torch.from_numpy(inputs["x"]),
+                                    torch.from_numpy(inputs["pos"]))
+        vol_t = twin.unet_3d(twin.volume_agg(p2["nocs_data"]))
+        ref = twin.volume_decoder(vol_t, lat_t)[..., 0]
+    ref = ref.numpy().reshape(B, VOL, VOL, VOL)
+    np.testing.assert_allclose(wnf, ref, rtol=1e-3, atol=1e-3)

@@ -1,20 +1,45 @@
-"""GarmentNets-TPU: a TPU-native (JAX/XLA/Pallas/pjit) re-implementation of the
-GarmentNets category-level garment pose estimation framework.
+"""garmentnets-tpu: TPU-native GarmentNets.
 
-Capability parity target: real-stanford/garmentnets (ICCV 2021).
-Reference layer map: see SURVEY.md. This package is a ground-up TPU-first
-design, not a port:
+Curated top-level API (lazily imported so data-only / host-only usage does
+not pay the JAX import):
 
-- `ops/`      device kernels (Pallas + XLA): FPS, ball query, kNN interp,
-              voxel scatter, trilinear grid sampling, gaussian gradient,
-              plus host-side geometry (marching cubes C++, geodesics).
-- `models/`   flax modules: PointNet++ NOCS (stage 1), volume aggregator,
-              3D U-Net, implicit WNF decoders, the full pipeline (stage 2).
-- `data/`     zarr-v2 compatible store, dataset sampling, instance split,
-              synthetic data generation (reference schema).
-- `parallel/` jax.sharding Mesh helpers; DP/spatial sharding for train+predict.
-- `harness/`  CLI entry points: train_pointnet2, train_pipeline, predict, eval.
-- `core/`     config system, checkpointing, logging.
+    from garmentnets_tpu import (
+        PointNet2NOCS, PointNet2NOCSConfig,
+        ConvImplicitWNFPipeline, PipelineConfig,
+        ConvImplicitWNFDataModule, ConvImplicitWNFDataset,
+        PredictEngine, Trainer,
+    )
 """
+from __future__ import annotations
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
+
+_LAZY = {
+    "PointNet2NOCS": "garmentnets_tpu.models.pointnet2_nocs",
+    "PointNet2NOCSConfig": "garmentnets_tpu.models.pointnet2_nocs",
+    "ConvImplicitWNFPipeline": "garmentnets_tpu.models.pipeline",
+    "PipelineConfig": "garmentnets_tpu.models.pipeline",
+    "ConvImplicitWNFDataModule": "garmentnets_tpu.data.dataset",
+    "ConvImplicitWNFDataset": "garmentnets_tpu.data.dataset",
+    "Loader": "garmentnets_tpu.data.dataset",
+    "PredictEngine": "garmentnets_tpu.harness.predict_engine",
+    "Trainer": "garmentnets_tpu.harness.training",
+    "make_train_fns": "garmentnets_tpu.harness.training",
+    "zarrlite": "garmentnets_tpu.data",
+}
+
+__all__ = sorted(_LAZY)
+
+
+def __getattr__(name: str):
+    target = _LAZY.get(name)
+    if target is None:
+        raise AttributeError(f"module 'garmentnets_tpu' has no {name!r}")
+    import importlib
+    mod = importlib.import_module(target)
+    if name == "zarrlite":
+        from garmentnets_tpu.data import zarrlite as obj
+    else:
+        obj = getattr(mod, name)
+    globals()[name] = obj
+    return obj

@@ -265,6 +265,8 @@ def _py_compress(buf: bytes, typesize: int, cname: str, clevel: int,
 
 def compress(buf: bytes, typesize: int, cname: str = "zstd", clevel: int = 6,
              shuffle: int = BITSHUFFLE, force_python: bool = False) -> bytes:
+    if not 1 <= typesize <= 255:
+        typesize = 1   # c-blosc convention: out-of-range typesize -> 1
     if _LIB is not None and not force_python:
         return _lib_compress(buf, typesize, cname, clevel, shuffle)
     return _py_compress(buf, typesize, cname, clevel, shuffle)

@@ -377,6 +377,10 @@ class Loader:
             self._pool = ThreadPoolExecutor(max_workers=num_workers)
         self.epoch = 0
 
+    def __del__(self):
+        if getattr(self, "_pool", None) is not None:
+            self._pool.shutdown(wait=False)
+
     def __len__(self):
         n = len(self.idxs)
         if self.drop_last:

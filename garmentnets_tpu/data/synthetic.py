@@ -112,8 +112,13 @@ def _render_views(sim_verts, nocs_verts, faces, num_views, pts_per_view, rng):
 def generate_dataset(path, num_instances: int = 3, grips_per_instance: int = 2,
                      volume_size: int = 32, mesh_res: int = 12,
                      pts_per_view: int = 2000, num_views: int = 4,
-                     seed: int = 0) -> zarrlite.Group:
-    """Write a synthetic dataset zarr; returns the root group."""
+                     seed: int = 0,
+                     include_task_space: bool = True) -> zarrlite.Group:
+    """Write a synthetic dataset zarr; returns the root group.
+
+    include_task_space: also emit sim_nocs_winding_number_field (one
+    volume_size^3 winding evaluation PER GRIP in a second pass); disable
+    for large volumes when only the canonical-space groups are needed."""
     root = zarrlite.open(path, "w")
     samples = root.require_group("samples")
     rng = np.random.RandomState(seed)
@@ -195,6 +200,8 @@ def generate_dataset(path, num_instances: int = 3, grips_per_instance: int = 2,
     # 'sim_nocs_winding_number_field') is the WNF of the SIM-space mesh
     # normalized by the dataset-level union AABB, which only exists after
     # all grips are generated
+    if not include_task_space:
+        return root
     normalizer = geometry.AABBGripNormalizer(aabb_union)
     vg_axes = np.linspace(0, 1, volume_size, dtype=np.float32)
     qx, qy, qz = np.meshgrid(vg_axes, vg_axes, vg_axes, indexing="ij")

@@ -203,6 +203,15 @@ class Group:
         else:
             assert compressor is None, f"unknown compressor {compressor!r}"
             comp_meta = None
+        if (comp_meta is not None and comp_meta["id"] == "blosc"
+                and "blosc" not in _CODECS):
+            # blosc needs libblosc or the zstandard package; never lose a
+            # long compute run to a missing codec — degrade to zlib (stock
+            # zarr readers handle both)
+            import warnings
+            warnings.warn("blosc codec unavailable (no libblosc/zstandard); "
+                          "writing zlib instead", RuntimeWarning)
+            comp_meta = {"id": "zlib", "level": 5}
         if comp_meta is not None and comp_meta["id"] not in _CODECS:
             raise ValueError(f"unsupported compressor {comp_meta['id']!r}")
         meta = {

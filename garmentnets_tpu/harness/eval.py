@@ -11,14 +11,6 @@ indirection (a zarr path dereferenced at runtime, eval.py:984-989).
 from __future__ import annotations
 
 import os
-
-# BLAS pin BEFORE numpy import (reference eval.py:3-10): P metric worker
-# processes on P cores must not each spawn a full BLAS thread pool. Only
-# effective when this module is the CLI entry (fresh interpreter).
-for _var in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS",
-             "VECLIB_MAXIMUM_THREADS", "NUMEXPR_NUM_THREADS"):
-    os.environ.setdefault(_var, "1")
-
 import json
 import pathlib
 import sys
@@ -194,6 +186,22 @@ def main(cfg, run_dir=None) -> pathlib.Path:
 
 
 def cli():
+    # BLAS pin (reference eval.py:3-10): P metric workers on P cores must
+    # not each spawn a full BLAS pool. BLAS reads these at library load, so
+    # re-exec once with the env set rather than pinning at import time
+    # (which would silently single-thread any process that merely imports
+    # this module).
+    blas_vars = ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS",
+                 "MKL_NUM_THREADS", "VECLIB_MAXIMUM_THREADS",
+                 "NUMEXPR_NUM_THREADS")
+    if (os.environ.get("_GARMENTNETS_BLAS_PINNED") != "1"
+            and any(v not in os.environ for v in blas_vars)):
+        env = dict(os.environ, _GARMENTNETS_BLAS_PINNED="1")
+        for v in blas_vars:
+            env.setdefault(v, "1")
+        os.execve(sys.executable,
+                  [sys.executable, "-m", "garmentnets_tpu.harness.eval"]
+                  + sys.argv[1:], env)
     overrides = config_mod.parse_cli(sys.argv[1:])
     cfg = config_mod.load_config("eval_default", overrides)
     print(main(cfg))

@@ -88,8 +88,17 @@ def parallel_map(func, sequence, num_workers: int = -1,
     num_workers = interpret_num_workers(num_workers)
     input_sequence = list(sequence)
 
+    def _cloudpickle_available():
+        try:
+            import cloudpickle  # noqa: F401
+            return True
+        except ImportError:
+            return False
+
     use_procs = mode == "process" or (
-        mode == "auto" and "fork" in multiprocessing.get_all_start_methods())
+        mode == "auto"
+        and "fork" in multiprocessing.get_all_start_methods()
+        and _cloudpickle_available())
     if num_workers == 1 or len(input_sequence) <= 1:
         output = [_safe_call(func, x) for x in input_sequence]
     elif use_procs:

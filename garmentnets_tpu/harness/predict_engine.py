@@ -58,10 +58,10 @@ class PredictEngine:
         self.warp_bucket = warp_bucket
         if active_cap is None:
             # active cubes scale with iso-surface AREA ~ volume_size^2; the
-            # 128^3 default (65536 ~ 2x a calibrated cloth load) scales up
-            # for the 256^3 stretch config so it doesn't hit the
-            # full-volume overflow fallback
-            active_cap = 65536 * max(1, (volume_size // 128) ** 2)
+            # 128^3 default (65536 ~ 2x a calibrated cloth load) scales
+            # continuously (not floor-divided: 192^3 needs 2.25x, not 1x)
+            # so larger grids don't hit the full-volume overflow fallback
+            active_cap = int(65536 * max(1.0, (volume_size / 128) ** 2))
         self.active_cap = active_cap
         self.precision = precision
         self.return_volume = return_volume

@@ -5,7 +5,7 @@ shipping full 128^3 WNF volumes to the host (8.4 MB/garment, plus another
 8.4 MB of gradient magnitude) would dominate end-to-end predict time. Instead
 the device finds the cubes whose corners straddle the iso level and emits a
 fixed-capacity (static-shape) list of cube ids + corner values — ~1 MB per
-garment. The C++ marching-tetrahedra consumes the list directly
+garment. The C++ marching-cubes kernel consumes the list directly
 (marching_cubes.marching_cubes_active), also skipping its full-volume scan.
 
 Corner order matches marching_cubes.CUBE_CORNERS.

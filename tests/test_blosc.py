@@ -102,3 +102,27 @@ def test_zarrlite_blosc_chunks_decode_with_real_cblosc(tmp_path):
     raw = bc._lib_decompress(chunk)
     np.testing.assert_array_equal(
         np.frombuffer(raw, np.float64).reshape(64, 64), data[:64, :64])
+
+
+def test_typesize_over_255_clamped():
+    """c-blosc caps typesize at 255 (falls back to 1); the header field is
+    one byte, so wide unicode dtypes must not crash the encoder."""
+    data = np.asarray(["a" * 10, "b" * 3], dtype="<U64")  # itemsize 256
+    buf = data.tobytes()
+    for force in ([False, True] if has_lib else [True]):
+        enc = bc.compress(buf, data.dtype.itemsize, "zstd", 6, bc.BITSHUFFLE,
+                          force_python=force)
+        assert bc.decompress(enc, force_python=force) == buf
+
+
+def test_zarrlite_blosc_fallback_to_zlib(tmp_path, monkeypatch):
+    """If the blosc codec is unavailable, writes degrade to zlib instead of
+    raising after a long compute (predict writes hours of results)."""
+    monkeypatch.setitem(zarrlite._CODECS, "blosc", None)
+    monkeypatch.delitem(zarrlite._CODECS, "blosc")
+    root = zarrlite.open(str(tmp_path / "t.zarr"), "w")
+    with pytest.warns(RuntimeWarning, match="blosc codec unavailable"):
+        root.array("a", np.arange(10.0), compressor="blosc")
+    back = zarrlite.open(str(tmp_path / "t.zarr"), "r")
+    assert back["a"].meta["compressor"]["id"] == "zlib"
+    np.testing.assert_array_equal(back["a"][:], np.arange(10.0))

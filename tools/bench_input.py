@@ -30,7 +30,8 @@ def main():
     print(f"generating synthetic dataset ({n_inst} instances)...",
           file=sys.stderr)
     generate_dataset(zp, num_instances=n_inst, grips_per_instance=3,
-                     volume_size=128, mesh_res=24, pts_per_view=3000)
+                     volume_size=128, mesh_res=24, pts_per_view=3000,
+                     include_task_space=False)
 
     ds = ConvImplicitWNFDataset(
         zarr_path=zp, metadata_cache_dir=None,

@@ -33,7 +33,6 @@ import ctypes
 import ctypes.util
 import struct
 import zlib
-from typing import Optional
 
 import numpy as np
 

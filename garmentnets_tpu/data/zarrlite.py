@@ -19,7 +19,7 @@ import json
 import pathlib
 import shutil
 import zlib
-from typing import Iterator, Optional, Tuple
+from typing import Iterator, Tuple
 
 import numpy as np
 

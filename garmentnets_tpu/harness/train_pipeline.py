@@ -9,7 +9,6 @@ from __future__ import annotations
 import pathlib
 import sys
 
-import jax
 
 from garmentnets_tpu.core import config as config_mod
 from garmentnets_tpu.core.builders import (

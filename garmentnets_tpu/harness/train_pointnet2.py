@@ -9,7 +9,6 @@ from __future__ import annotations
 import pathlib
 import sys
 
-import jax
 
 from garmentnets_tpu.core import config as config_mod
 from garmentnets_tpu.core.builders import (
@@ -75,7 +74,6 @@ def main(cfg, run_dir=None):
     val_loader = datamodule.val_dataloader()
     if vis_per_items > 0 and len(val_loader) > 0:
         from garmentnets_tpu.harness.vis_hooks import vis_stage1
-        from garmentnets_tpu.models.pointnet2_nocs import logits_to_nocs_bins
         vis_batch = next(iter(val_loader))
         max_vis = cfg["model"].get("max_vis_per_epoch_val", 10)
         bsz = cfg["datamodule"]["batch_size"]

@@ -13,7 +13,7 @@ Conventions chosen for checkpoint-conversion parity with torch BatchNorm1d:
 """
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Sequence
 
 import jax.numpy as jnp
 import flax.linen as nn

@@ -9,7 +9,7 @@ runs in eval mode with stopped gradients (reference pointnet2_forward
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Sequence, Tuple
+from typing import Sequence, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -11,7 +11,6 @@ float64 and to float32 precision on device (tested against scipy).
 from __future__ import annotations
 
 import functools
-import math
 
 import jax
 import jax.numpy as jnp

@@ -25,6 +25,53 @@ from garmentnets_tpu.parallel.mesh import (
     make_mesh, shard_batch, replicate_tree, pad_batch_to)
 
 
+def metrics_to_host(metric_dicts):
+    """Converts a list of same-keyed scalar-metric dicts (device arrays) to
+    host-float dicts in ONE stacked device->host transfer.
+
+    Fetching each scalar individually costs a full round trip per value
+    (~35 ms each through this sandbox's device tunnel); at ~4 metrics/step
+    that synchronous fetch dominated the measured step time (stage-1 B=8:
+    22.8 samples/s synced vs 31.7 buffered). Stacking on device first makes
+    the whole buffer one transfer and lets the dispatch queue run ahead.
+    """
+    if not metric_dicts:
+        return []
+    keys = list(metric_dicts[0].keys())
+    if any(list(m.keys()) != keys for m in metric_dicts):
+        # heterogeneous dicts: fall back to per-dict conversion
+        return [{k: float(v) for k, v in m.items()} for m in metric_dicts]
+    mat = np.asarray(jnp.stack(
+        [jnp.stack([jnp.asarray(m[k], jnp.float32).reshape(()) for k in keys])
+         for m in metric_dicts]))
+    return [dict(zip(keys, map(float, row))) for row in mat]
+
+
+class MetricFlusher:
+    """Buffers per-step device metrics; flushes them to the logger in
+    batched transfers every `flush_every` steps (also bounding how far the
+    async dispatch queue can run ahead of the host)."""
+
+    def __init__(self, logger: RunLogger, flush_every: int = 32):
+        self.logger = logger
+        self.flush_every = flush_every
+        self._buf: list = []
+
+    def add(self, prefix: str, metrics: dict, step: int):
+        self._buf.append((prefix, metrics, step))
+        if len(self._buf) >= self.flush_every:
+            self.flush()
+
+    def flush(self):
+        if not self._buf:
+            return
+        rows = metrics_to_host([m for _, m, _ in self._buf])
+        for (prefix, _, step), row in zip(self._buf, rows):
+            self.logger.log({f"{prefix}{k}": v for k, v in row.items()},
+                            step=step)
+        self._buf.clear()
+
+
 def make_train_fns(init_fn: Callable, apply_fn: Callable, loss_fn: Callable,
                    learning_rate: float, mesh=None):
     """Generic over model call signatures.
@@ -140,6 +187,7 @@ class Trainer:
                 jax.profiler.stop_trace()
             t0 = time.time()
             n_train = 0
+            flusher = MetricFlusher(self.logger)
             for batch in train_loader:
                 if (self.limit_train_batches is not None
                         and n_train >= self.limit_train_batches):
@@ -147,30 +195,30 @@ class Trainer:
                 rng, step_rng = jax.random.split(rng)
                 state, metrics = train_step(
                     state, self._prep(batch)[0], step_rng)
-                self.logger.log(
-                    {f"train_{k}": float(v) for k, v in metrics.items()},
-                    step=global_step)
+                flusher.add("train_", metrics, global_step)
                 global_step += 1
                 n_train += 1
+            flusher.flush()
 
-            val_losses, val_weights = [], []
+            val_metrics, val_weights = [], []
             n_val = 0
             for batch in val_loader:
                 if (self.limit_val_batches is not None
                         and n_val >= self.limit_val_batches):
                     break
                 prepped, real_b = self._prep(batch)
-                metrics = eval_step(state, prepped)
-                val_losses.append(float(metrics["loss"]))
+                val_metrics.append(eval_step(state, prepped))
                 val_weights.append(real_b)
-                self.logger.log(
-                    {f"val_{k}": float(v) for k, v in metrics.items()},
-                    step=global_step)
                 n_val += 1
+            val_rows = metrics_to_host(val_metrics)
+            for row in val_rows:
+                self.logger.log({f"val_{k}": v for k, v in row.items()},
+                                step=global_step)
             # sample-exact epoch val loss: each batch mean already excludes
             # padded rows; weight batches by their real sample count
-            val_loss = (float(np.average(val_losses, weights=val_weights))
-                        if val_losses else float("nan"))
+            val_loss = (float(np.average([r["loss"] for r in val_rows],
+                                         weights=val_weights))
+                        if val_rows else float("nan"))
 
             if epoch_vis_fn is not None:
                 epoch_vis_fn(state, epoch, global_step)

@@ -82,3 +82,33 @@ def test_stage1_metrics_ignore_padding():
     for k in want:
         np.testing.assert_allclose(
             float(got[k]), float(want[k]), rtol=1e-5, err_msg=k)
+
+
+def test_metric_flusher_batched_transfer(tmp_path):
+    """MetricFlusher must log the same values a per-step float() sync would,
+    in the same order, with the right prefixes/steps."""
+    import json
+    from garmentnets_tpu.core.logging import RunLogger
+    from garmentnets_tpu.harness.training import (
+        MetricFlusher, metrics_to_host)
+
+    dicts = [{"loss": jnp.float32(i), "err": jnp.float32(10 * i)}
+             for i in range(5)]
+    rows = metrics_to_host(dicts)
+    assert rows == [{"loss": float(i), "err": float(10 * i)}
+                    for i in range(5)]
+    # heterogeneous keys fall back without loss of data
+    het = [{"a": jnp.float32(1)}, {"b": jnp.float32(2)}]
+    assert metrics_to_host(het) == [{"a": 1.0}, {"b": 2.0}]
+
+    logger = RunLogger(tmp_path / "run")
+    fl = MetricFlusher(logger, flush_every=3)
+    for i, m in enumerate(dicts):
+        fl.add("train_", m, step=i)
+    fl.flush()
+    logger.close()
+    recs = [json.loads(line) for line in
+            (tmp_path / "run" / "metrics.jsonl").open()]
+    assert [r["_step"] for r in recs] == list(range(5))
+    assert [r["train_loss"] for r in recs] == [float(i) for i in range(5)]
+    assert [r["train_err"] for r in recs] == [float(10 * i) for i in range(5)]

@@ -72,7 +72,8 @@ def main():
     from garmentnets_tpu.models.pointnet2_nocs import PointNet2NOCSConfig
     from garmentnets_tpu.models.pipeline import ConvImplicitWNFPipeline
     from garmentnets_tpu.harness.predict_engine import PredictEngine
-    from garmentnets_tpu.ops.isosurface import extract_active_cubes
+    from garmentnets_tpu.ops.isosurface import (
+        extract_active_blocks, pack_block_pages)
     import jax.numpy as jnp
 
     B = int(os.environ.get("BENCH_BATCH", "8"))
@@ -111,13 +112,15 @@ def main():
     # above better than the round-1 sphere did.
     heavy = os.environ.get("BENCH_HEAVY", "0") == "1"
     cloth_wnf = _cloth_like_wnf(VOL, heavy=heavy)
-    base, vals, counts = extract_active_cubes(
+    base, vals, counts = extract_active_blocks(
         jnp.asarray(np.broadcast_to(cloth_wnf, (B,) + cloth_wnf.shape)),
-        0.5, engine.active_cap, quantize=True)
+        0.5, engine.block_cap)
     n_active = int(np.asarray(counts)[0])
-    print(f"cloth WNF active cubes/garment: {n_active} "
-          f"(cap {engine.active_cap}, heavy={heavy})", file=sys.stderr)
-    sub = {"active_base": base, "active_vals": vals, "active_counts": counts}
+    print(f"cloth WNF active blocks/garment: {n_active} "
+          f"(block cap {engine.block_cap}, heavy={heavy})", file=sys.stderr)
+    pages = jax.jit(
+        lambda b, v: pack_block_pages(b, v, engine.block_page))(base, vals)
+    sub = {"active_pages": pages, "active_counts": counts}
 
     # warmup / compile
     t0 = time.time()

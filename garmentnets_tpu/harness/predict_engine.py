@@ -30,7 +30,9 @@ from garmentnets_tpu.models.pipeline import (
     ConvImplicitWNFPipeline, PipelineConfig)
 from garmentnets_tpu.ops.gaussian import gaussian_gradient_magnitude
 from garmentnets_tpu.ops.dense_decode import dense_decode, eval_layers
-from garmentnets_tpu.ops.isosurface import extract_active_cubes
+from garmentnets_tpu.ops.isosurface import (
+    extract_active_blocks, expand_active_blocks, pack_block_pages,
+    unpack_block_pages)
 from garmentnets_tpu.ops.marching_cubes import (
     marching_cubes_active, marching_cubes)
 
@@ -63,6 +65,16 @@ class PredictEngine:
             # so larger grids don't hit the full-volume overflow fallback
             active_cap = int(65536 * max(1.0, (volume_size / 128) ** 2))
         self.active_cap = active_cap
+        # extraction works on 4^3-cube BLOCKS (ops/isosurface block path):
+        # 64x smaller compaction problem on device and ~2x fewer link bytes
+        # (a block ships its 5^3 support once, 129 B, instead of up to 64
+        # cubes x 12 B). A calibrated cloth shell averages ~20 active cubes
+        # per active block, so cap/16 blocks keeps >= the cube-cap's
+        # headroom; block arrays cross the link in fixed-size pages so only
+        # ceil(count/page) pages are fetched (the cap costs HBM, not link).
+        block_cap = max(64, active_cap // 16)
+        self.block_page = min(1024, block_cap)
+        self.block_cap = -(-block_cap // self.block_page) * self.block_page
         self.precision = precision
         self.return_volume = return_volume
         self.use_hole_prediction = (use_hole_prediction
@@ -120,13 +132,12 @@ class PredictEngine:
                            self.volume_size, slab=self._slab,
                            precision=self.precision)
         ggm = gaussian_gradient_magnitude(wnf, self.gradient_sigma)
-        base, vals, counts = extract_active_cubes(
-            wnf, self.iso_level, self.active_cap, quantize=True)
+        base, vals, counts = extract_active_blocks(
+            wnf, self.iso_level, self.block_cap)
 
         nd = p2_result["nocs_data"]
         out = {
-            "active_base": base,
-            "active_vals": vals,
+            "active_pages": pack_block_pages(base, vals, self.block_page),
             "active_counts": counts,
             "wnf_ggm": ggm,                      # stays on device
             "feature_volume": feature_volume,    # stays on device
@@ -176,20 +187,47 @@ class PredictEngine:
                             jnp.asarray(np.asarray(x, np.float32)),
                             jnp.asarray(np.asarray(pos, np.float32)))
 
-    PREFETCH_KEYS = ("active_counts", "active_base", "active_vals")
+    PREFETCH_KEYS = ("active_counts",)
 
     def prefetch(self, enc: dict, extra_keys=()):
         """Start async device->host copies for the arrays the host stage will
         read; overlaps the slow link with device compute and host MC.
-        (Measured: slicing the active arrays to the true count before the
-        copy saves bytes but loses — it serializes a counts round-trip and
-        the slice dispatch onto the critical path, where the early
-        full-capacity async copy overlaps with the previous batch's host
-        work. 18.0 vs 5.3 garments/sec on the ~30 MB/s tunnel.)"""
+
+        Active cubes are paged: counts + page 0 are fetched eagerly; the
+        remaining ceil(count/page) pages are requested in extract_meshes
+        once counts arrive, so link bytes track the true active count while
+        the generous cap only costs HBM. (A device-side slice to the true
+        count was measured far slower — 5.3 vs 18 garments/sec — because it
+        serializes a counts round-trip AND a fresh device dispatch onto the
+        critical path; picking pre-materialized page buffers does neither.)
+        """
         for key in tuple(self.PREFETCH_KEYS) + tuple(extra_keys):
             arr = enc.get(key)
             if arr is not None and hasattr(arr, "copy_to_host_async"):
                 arr.copy_to_host_async()
+        pages = enc.get("active_pages")
+        if pages:
+            pages[0].copy_to_host_async()
+
+    def request_active(self, enc: dict) -> int:
+        """Issues the async copies for the active-page prefix covering this
+        batch's true counts; returns max(counts).
+
+        Blocks only on the (tiny, prefetched) counts array. Call this one
+        pipeline stage ahead of extract_meshes — right after the NEXT
+        batch's encode dispatch and the previous batch's warp dispatch —
+        so the ~count-sized page transfer streams over the link while the
+        host runs marching cubes for the previous batch. extract_meshes
+        re-issues the same copies harmlessly (a completed async copy is
+        cached by the runtime)."""
+        counts = np.asarray(enc["active_counts"])
+        kmax = int(counts.max()) if counts.size else 0
+        if 0 < kmax <= self.block_cap:
+            n_pages = -(-kmax // self.block_page)
+            for p in enc["active_pages"][:n_pages]:
+                if hasattr(p, "copy_to_host_async"):
+                    p.copy_to_host_async()
+        return kmax
 
     def extract_meshes(self, enc: dict) -> list:
         """Fetch active cubes once for the batch and run host marching
@@ -203,7 +241,7 @@ class PredictEngine:
         results: list = [None] * B
         if kmax == 0:
             return results
-        if kmax > self.active_cap:
+        if kmax > self.block_cap:
             # capacity overflow: fall back to full-volume MC (rare)
             wnf = np.asarray(self._dense_wnf(enc))
             for b in range(B):
@@ -215,16 +253,23 @@ class PredictEngine:
                 except ValueError:
                     pass
             return results
-        from garmentnets_tpu.ops.isosurface import dequantize_vals
-        base = np.asarray(enc["active_base"])
-        vals = dequantize_vals(enc["active_vals"], self.iso_level)
+        pages = enc["active_pages"]
+        n_pages = max(1, -(-kmax // self.block_page))
+        for p in pages[1:n_pages]:       # page 0 already in flight
+            if hasattr(p, "copy_to_host_async"):
+                p.copy_to_host_async()
+        blk_base, blk_vals = unpack_block_pages(pages[:n_pages])
         for b in range(B):
             n = int(counts[b])
             if n == 0:
                 continue
+            cube_base, cube_vals = expand_active_blocks(
+                blk_base[b, :n], blk_vals[b, :n], self.iso_level, S)
+            if len(cube_base) == 0:
+                continue
             try:
                 v, f = marching_cubes_active(
-                    base[b, :n], vals[b, :n], (S, S, S), self.iso_level,
+                    cube_base, cube_vals, (S, S, S), self.iso_level,
                     spacing, gradient_direction=self.gradient_direction)
                 results[b] = (v, f)
             except ValueError:

@@ -23,6 +23,17 @@ from garmentnets_tpu.ops.marching_cubes import CUBE_CORNERS
 VAL_QUANT_SCALE = 254.0  # int8 mode: (v - level) * 254 in [-127, 127]
 
 
+def _quantize_vals(vals, level):
+    """int8 side-preserving quantization: q >= 1 iff v > level, so the
+    host's dequantized inside-test (value > level) reproduces the device's
+    float decision exactly — a borderline corner rounding to 0 would
+    otherwise flip a cube between the mixed and constant classes. Bias
+    error <= one quant step (1/254), the scheme's existing error bound."""
+    q = jnp.round((vals - level) * VAL_QUANT_SCALE)
+    q = jnp.where(vals > level, jnp.maximum(q, 1.0), jnp.minimum(q, 0.0))
+    return jnp.clip(q, -127, 127).astype(jnp.int8)
+
+
 @functools.partial(jax.jit, static_argnames=("level", "cap", "quantize"))
 def extract_active_cubes(wnf: jax.Array, level: float, cap: int,
                          quantize: bool = False):
@@ -79,8 +90,7 @@ def extract_active_cubes(wnf: jax.Array, level: float, cap: int,
         axis=1).reshape(B, cap, 8)
     base = jnp.where(cube_idx >= 0, base, -1).astype(jnp.int32)
     if quantize:
-        q = jnp.clip(jnp.round((vals - level) * VAL_QUANT_SCALE),
-                     -127, 127).astype(jnp.int8)
+        q = _quantize_vals(vals, level)
         return base, q, counts
     return base, vals.astype(jnp.float16), counts
 
@@ -92,3 +102,179 @@ def dequantize_vals(vals, level: float):
     if vals.dtype == np.int8:
         return vals.astype(np.float32) / VAL_QUANT_SCALE + level
     return vals.astype(np.float32)
+
+
+def pack_active_pages(base, vals_q, page: int):
+    """Packs (base [B,cap] i32, vals [B,cap,8] i8) into fixed-size transfer
+    pages: a tuple of [B, page, 12]-uint8 buffers (4 little-endian base
+    bytes + 8 quantized corner bytes per cube).
+
+    Page layout exists purely for the device->host link: the host needs only
+    ceil(max(counts)/page) pages, so fetching per-page cuts the dominant
+    predict transfer from cap-sized to count-sized without putting a
+    device-side dynamic slice on the critical path (each page is its own
+    XLA output buffer — the host picks which to copy). Byte order is fixed
+    by shift arithmetic (not bitcast) so host decode is platform-independent.
+    cap must be a multiple of page."""
+    B, cap = base.shape
+    assert cap % page == 0, (cap, page)
+    b32 = base.astype(jnp.uint32)
+    base_bytes = jnp.stack(
+        [(b32 >> (8 * i)).astype(jnp.uint8) for i in range(4)],
+        axis=-1)                                           # [B, cap, 4]
+    val_bytes = jax.lax.bitcast_convert_type(vals_q, jnp.uint8)
+    packed = jnp.concatenate([base_bytes, val_bytes], axis=-1)
+    return tuple(jnp.split(packed, cap // page, axis=1))
+
+
+def unpack_active_pages(pages, level: float):
+    """Host-side inverse of pack_active_pages over the fetched page prefix:
+    returns (base [B, n*page] int32, vals [B, n*page, 8] float32)."""
+    import numpy as np
+    buf = np.concatenate([np.asarray(p) for p in pages], axis=1)
+    base = (buf[:, :, 0].astype(np.uint32)
+            | (buf[:, :, 1].astype(np.uint32) << 8)
+            | (buf[:, :, 2].astype(np.uint32) << 16)
+            | (buf[:, :, 3].astype(np.uint32) << 24)).view(np.int32)
+    vals = dequantize_vals(buf[:, :, 4:].view(np.int8), level)
+    return base, vals
+
+
+# ---------------------------------------------------------------------------
+# Block-level extraction: the compaction cost of the per-cube path above is
+# dominated by a searchsorted over the (S-1)^3 cube grid (~120 ms at 128^3,
+# the single largest piece of the encode program). Grouping cubes into 4^3
+# blocks shrinks the compaction problem 64x AND the link bytes ~2x (a block
+# ships its 5^3 corner-value support once — 129 B — instead of 64 cubes x
+# 12 B with every interior value repeated 8x). Block activity is computed
+# EXACTLY by min/max pooling: a 5^3 support holds values on both sides of
+# the iso level iff some adjacent pair inside it straddles it, and every
+# such pair is an edge of a cube whose origin lies in the block.
+# ---------------------------------------------------------------------------
+
+BLOCK = 4          # cubes per block edge
+BLOCK_SUP = 125    # 5x5x5 corner-value support per block
+
+
+@functools.partial(jax.jit, static_argnames=("level", "block_cap"))
+def extract_active_blocks(wnf: jax.Array, level: float, block_cap: int):
+    """wnf: [B, S, S, S] -> (block_base [B,block_cap] i32 flat grid index of
+    the block origin vertex (-1 pad), block_vals [B,block_cap,125] int8
+    quantized 5^3 support, block_counts [B] i32).
+
+    S must be a multiple of BLOCK. Edge blocks whose support would read past
+    the grid use clamped (edge-replicated) gathers; the resulting duplicate
+    corners make out-of-range cubes corner-constant, so the host-side
+    expansion drops them. counts may exceed block_cap (host falls back to
+    the full-volume path). Quantization matches extract_active_cubes
+    (shared corners quantize identically -> crack-free meshes)."""
+    B, S = wnf.shape[0], wnf.shape[1]
+    assert S % BLOCK == 0, S
+    nb = S // BLOCK                       # block grid edge
+    # exact block activity via neutral-padded min/max pooling over the 5^3
+    # support (window 5, stride 4; high-edge pad of 1 covers the last block)
+    dims = (1, 5, 5, 5)
+    strides = (1, BLOCK, BLOCK, BLOCK)
+    pad = ((0, 0), (0, 1), (0, 1), (0, 1))
+    bmax = jax.lax.reduce_window(wnf, -jnp.inf, jax.lax.max, dims, strides,
+                                 pad)
+    bmin = jax.lax.reduce_window(wnf, jnp.inf, jax.lax.min, dims, strides,
+                                 pad)
+    active = jnp.logical_and(bmin <= level, bmax > level)    # [B,nb,nb,nb]
+    flat = active.reshape(B, nb ** 3)
+    counts = flat.sum(axis=1).astype(jnp.int32)
+
+    csum = jnp.cumsum(flat.astype(jnp.int32), axis=1)
+    targets = jnp.arange(1, block_cap + 1, dtype=jnp.int32)
+    blk_idx = jax.vmap(lambda row: jnp.searchsorted(row, targets))(csum)
+    valid = targets[None, :] <= counts[:, None]
+    blk_idx = jnp.where(valid, blk_idx, 0)
+
+    bz = (blk_idx % nb) * BLOCK
+    by = ((blk_idx // nb) % nb) * BLOCK
+    bx = (blk_idx // (nb * nb)) * BLOCK
+    # 5^3 support with per-axis clamp (edge replication)
+    r = jnp.arange(5, dtype=jnp.int32)
+    gx = jnp.minimum(bx[..., None] + r, S - 1)       # [B,cap,5]
+    gy = jnp.minimum(by[..., None] + r, S - 1)
+    gz = jnp.minimum(bz[..., None] + r, S - 1)
+    gidx = ((gx[:, :, :, None, None] * S + gy[:, :, None, :, None]) * S
+            + gz[:, :, None, None, :]).reshape(B, block_cap * BLOCK_SUP)
+    vals = jnp.take_along_axis(wnf.reshape(B, -1), gidx, axis=1)
+    vals = vals.reshape(B, block_cap, BLOCK_SUP)
+    q = _quantize_vals(vals, level)
+    base = (bx * S + by) * S + bz
+    base = jnp.where(valid, base, -1).astype(jnp.int32)
+    return base, q, counts
+
+
+def _expand_lut():
+    """[64 cubes, 8 corners] indices into the flattened 5^3 block support."""
+    import numpy as np
+    ii, jj, kk = np.meshgrid(np.arange(4), np.arange(4), np.arange(4),
+                             indexing="ij")
+    cube = np.stack([ii, jj, kk], axis=-1).reshape(64, 3)    # local origins
+    corn = cube[:, None, :] + np.asarray(CUBE_CORNERS)[None, :, :]
+    return (corn[..., 0] * 25 + corn[..., 1] * 5 + corn[..., 2]), cube
+
+
+_EXPAND_LUT = None
+
+
+def expand_active_blocks(block_base, block_vals_q, level: float,
+                         volume_size: int):
+    """Host-side block -> active-cube-list expansion for one garment.
+
+    block_base [n] int32, block_vals_q [n,125] int8 -> (cube_base [m] i64,
+    cube_vals [m,8] f32) with exactly the per-cube activity rule of
+    extract_active_cubes applied to the dequantized values."""
+    import numpy as np
+    global _EXPAND_LUT
+    if _EXPAND_LUT is None:
+        _EXPAND_LUT = _expand_lut()
+    lut, cube_off = _EXPAND_LUT
+    S = volume_size
+    vals = block_vals_q.astype(np.float32) / VAL_QUANT_SCALE + level
+    cube_vals = vals[:, lut]                              # [n, 64, 8]
+    inside = cube_vals > level
+    active = inside.any(axis=-1) & ~inside.all(axis=-1)   # [n, 64]
+    # drop out-of-range cubes in edge blocks: their clamped (duplicated)
+    # support corners can still straddle the level, but a cube origin past
+    # S-2 on any axis does not exist in the (S-1)^3 cube grid
+    bz = block_base % S
+    by = (block_base // S) % S
+    bx = block_base // (S * S)
+    borig = np.stack([bx, by, bz], axis=-1)               # [n, 3]
+    in_range = ((borig[:, None, :] + cube_off[None, :, :]) <= S - 2).all(
+        axis=-1)                                          # [n, 64]
+    active &= in_range
+    off = ((cube_off[:, 0] * S + cube_off[:, 1]) * S
+           + cube_off[:, 2]).astype(np.int64)             # [64]
+    bases = block_base.astype(np.int64)[:, None] + off[None, :]
+    sel = active.reshape(-1)
+    return bases.reshape(-1)[sel], cube_vals.reshape(-1, 8)[sel]
+
+
+def pack_block_pages(base, vals_q, page: int):
+    """Like pack_active_pages but for block records: 4 base bytes + 125
+    quantized support bytes per block -> tuple of [B,page,129]-uint8 pages."""
+    B, cap = base.shape
+    assert cap % page == 0, (cap, page)
+    b32 = base.astype(jnp.uint32)
+    base_bytes = jnp.stack(
+        [(b32 >> (8 * i)).astype(jnp.uint8) for i in range(4)], axis=-1)
+    val_bytes = jax.lax.bitcast_convert_type(vals_q, jnp.uint8)
+    packed = jnp.concatenate([base_bytes, val_bytes], axis=-1)
+    return tuple(jnp.split(packed, cap // page, axis=1))
+
+
+def unpack_block_pages(pages):
+    """Host inverse of pack_block_pages over the fetched page prefix:
+    (base [B, n*page] int32, vals_q [B, n*page, 125] int8)."""
+    import numpy as np
+    buf = np.concatenate([np.asarray(p) for p in pages], axis=1)
+    base = (buf[:, :, 0].astype(np.uint32)
+            | (buf[:, :, 1].astype(np.uint32) << 8)
+            | (buf[:, :, 2].astype(np.uint32) << 16)
+            | (buf[:, :, 3].astype(np.uint32) << 24)).view(np.int32)
+    return base, buf[:, :, 4:].view(np.int8)

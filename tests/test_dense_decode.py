@@ -125,3 +125,69 @@ def test_active_cubes_int8_quantization_subvoxel():
     # same welded topology -> same vertex ordering; compare directly
     d = np.abs(v0 - v1).max()
     assert d < 0.25 * spacing[0], d
+
+
+def test_active_page_roundtrip():
+    """pack_active_pages/unpack_active_pages must be an exact round trip for
+    base indices (incl. the -1 pad sentinel) and int8 corner values."""
+    from garmentnets_tpu.ops.isosurface import (
+        pack_active_pages, unpack_active_pages, dequantize_vals)
+    rng = np.random.RandomState(0)
+    B, cap, page = 2, 1024, 256
+    base = rng.randint(0, 128 ** 3, size=(B, cap)).astype(np.int32)
+    base[0, 700:] = -1
+    vals = rng.randint(-127, 128, size=(B, cap, 8)).astype(np.int8)
+    pages = pack_active_pages(jnp.asarray(base), jnp.asarray(vals), page)
+    assert len(pages) == cap // page
+    assert pages[0].dtype == jnp.uint8 and pages[0].shape == (B, page, 12)
+    got_base, got_vals = unpack_active_pages(pages, level=0.5)
+    np.testing.assert_array_equal(got_base, base)
+    np.testing.assert_allclose(got_vals, dequantize_vals(vals, 0.5))
+    # prefix decode (what extract_meshes does when counts are small)
+    got_base2, _ = unpack_active_pages(pages[:2], level=0.5)
+    np.testing.assert_array_equal(got_base2, base[:, :2 * page])
+
+
+def test_block_extraction_matches_cube_extraction():
+    """extract_active_blocks + host expand must produce exactly the cube set
+    (and corner values) of extract_active_cubes on the dequantized field."""
+    from garmentnets_tpu.ops.isosurface import (
+        extract_active_cubes, extract_active_blocks, expand_active_blocks,
+        dequantize_vals, pack_block_pages, unpack_block_pages)
+    rng = np.random.RandomState(3)
+    S, B = 32, 2
+    # smooth random field crossing the level + an exact-boundary plateau
+    from scipy.ndimage import gaussian_filter
+    vol = np.stack([
+        gaussian_filter(rng.rand(S, S, S).astype(np.float32), 3) * 4.0,
+        gaussian_filter(rng.rand(S, S, S).astype(np.float32), 2) * 4.0])
+    level = float(np.median(vol))
+    wnf = jnp.asarray(vol)
+
+    cb, cv, cc = extract_active_cubes(wnf, level, 32768, quantize=True)
+    bb, bv, bc = extract_active_blocks(wnf, level, 1024)
+    assert int(np.asarray(cc).max()) <= 32768
+    assert int(np.asarray(bc).max()) <= 1024
+    # page round trip
+    pages = pack_block_pages(bb, bv, 128)
+    got_b, got_v = unpack_block_pages(pages)
+    np.testing.assert_array_equal(got_b, np.asarray(bb))
+    np.testing.assert_array_equal(got_v, np.asarray(bv))
+
+    for b in range(B):
+        n_cubes = int(np.asarray(cc)[b])
+        assert n_cubes > 100
+        ref_base = np.asarray(cb)[b, :n_cubes]
+        ref_vals = dequantize_vals(np.asarray(cv)[b, :n_cubes], level)
+        # side-preserving quantization makes the host's dequantized
+        # inside-test identical to the device's float decision, so the two
+        # paths must produce exactly the same cube set
+        ref = {int(i): ref_vals[j] for j, i in enumerate(ref_base)}
+        nb = int(np.asarray(bc)[b])
+        got_base, got_vals = expand_active_blocks(
+            np.asarray(bb)[b, :nb], np.asarray(bv)[b, :nb], level, S)
+        assert len(got_base) == len(set(got_base.tolist()))  # no dup cubes
+        got = {int(i): got_vals[j] for j, i in enumerate(got_base)}
+        assert set(got.keys()) == set(ref.keys())
+        for k in ref:
+            np.testing.assert_allclose(got[k], ref[k], atol=1e-6)

@@ -73,7 +73,7 @@ def main():
     from garmentnets_tpu.models.pipeline import ConvImplicitWNFPipeline
     from garmentnets_tpu.harness.predict_engine import PredictEngine
     from garmentnets_tpu.ops.isosurface import (
-        extract_active_blocks, pack_block_pages)
+        extract_active_bricks, pack_brick_pages)
     import jax.numpy as jnp
 
     B = int(os.environ.get("BENCH_BATCH", "8"))
@@ -112,14 +112,14 @@ def main():
     # above better than the round-1 sphere did.
     heavy = os.environ.get("BENCH_HEAVY", "0") == "1"
     cloth_wnf = _cloth_like_wnf(VOL, heavy=heavy)
-    base, vals, counts = extract_active_blocks(
+    base, vals, counts = extract_active_bricks(
         jnp.asarray(np.broadcast_to(cloth_wnf, (B,) + cloth_wnf.shape)),
-        0.5, engine.block_cap)
+        0.5, engine.brick_cap)
     n_active = int(np.asarray(counts)[0])
-    print(f"cloth WNF active blocks/garment: {n_active} "
-          f"(block cap {engine.block_cap}, heavy={heavy})", file=sys.stderr)
+    print(f"cloth WNF shipped bricks/garment: {n_active} "
+          f"(brick cap {engine.brick_cap}, heavy={heavy})", file=sys.stderr)
     pages = jax.jit(
-        lambda b, v: pack_block_pages(b, v, engine.block_page))(base, vals)
+        lambda b, v: pack_brick_pages(b, v, engine.brick_page))(base, vals)
     sub = {"active_pages": pages, "active_counts": counts}
 
     # warmup / compile
@@ -134,14 +134,18 @@ def main():
     print(f"warp compile ({nv} verts): {time.time()-t0:.1f}s",
           file=sys.stderr)
 
-    # timed loop: 3-stage software pipeline — device encode(i+1) runs while
-    # the host does MC for i and collects warp results for i-1; all
-    # device->host copies are prefetched asynchronously.
+    # timed loop: 4-stage software pipeline — device encode(i+1) runs while
+    # the host does MC for i; warp results are collected at depth 2 (batch
+    # i-2) so they have a full iteration to stream over the slow link (the
+    # device executes warp(i) after encode(i+1), FIFO order, so depth-1
+    # collection stalls ~120 ms/batch on the result transfer); all
+    # device->host copies are issued asynchronously at dispatch time.
+    import collections
     t_start = time.time()
     done = 0
     enc = dict(engine.encode(batch["x"], batch["pos"]), **sub)
     engine.prefetch(enc)
-    warp_handle = None
+    warp_handles = collections.deque()
     for i in range(N_BATCHES):
         if i + 1 < N_BATCHES:
             nxt = dict(engine.encode(batch["x"], batch["pos"]), **sub)
@@ -149,12 +153,13 @@ def main():
         else:
             nxt = None
         meshes = engine.extract_meshes(enc)
-        if warp_handle is not None:
-            engine.warp_collect(warp_handle)
-        warp_handle = engine.warp_dispatch(enc, meshes)
+        while len(warp_handles) >= 2:
+            engine.warp_collect(warp_handles.popleft())
+        warp_handles.append(engine.warp_dispatch(enc, meshes))
         done += len(meshes)
         enc = nxt
-    engine.warp_collect(warp_handle)
+    while warp_handles:
+        engine.warp_collect(warp_handles.popleft())
     elapsed = time.time() - t_start
     gps = done / elapsed
 

@@ -16,6 +16,7 @@ TPU-native upgrades:
 """
 from __future__ import annotations
 
+import collections
 import pathlib
 import sys
 import time
@@ -173,14 +174,49 @@ def main(cfg, run_dir=None) -> pathlib.Path:
 
     t_start = time.time()
     n_done = 0
-    pending = None  # (enc_device, batch_np) — device/host pipelining
+
+    def finalize(entry):
+        """Collect one in-flight batch's warp results and write its zarr
+        groups (host IO, overlapped with later batches' device work)."""
+        nonlocal n_done
+        enc, batch_np, meshes, warp_handle, bidx = entry
+        warps = engine.warp_collect(warp_handle)
+        enc_np = {k: np.asarray(v) for k, v in enc.items()
+                  if k in ("pred_nocs", "pred_nocs_confidence",
+                           "per_point_logits", "global_logits",
+                           "global_feature")}
+        b = batch_np["x"].shape[0]
+        for item in range(b):
+            dataset_idx = int(batch_np["dataset_idx"][item])
+            row = val_dataset.groups_df.iloc[dataset_idx]
+            group_key = row.group_key
+            attrs = {k: row[k] for k in
+                     ("scale", "gender", "sample_id", "garment_name",
+                      "grip_vertex_idx")}
+            for k in ("gender", "grip_vertex_idx"):
+                attrs[k] = int(attrs[k])
+            attrs["batch_idx"] = bidx
+            out_group = output_samples.require_group(group_key)
+            out_group.attrs.put(attrs)
+            process_item(engine, enc_np, item, batch_np,
+                         input_samples_group[group_key], out_group,
+                         pred_cfg, meshes[item], warps[item])
+            n_done += 1
+        logger.log({"prediction_batch_idx": bidx}, step=bidx)
+
+    # 4-stage pipeline: device encode(i+1) overlaps host MC(i); warp results
+    # are collected at depth 2 — the device executes warp(i) after
+    # encode(i+1) (FIFO), so collecting one batch later gives the result
+    # transfer a full iteration to stream over the slow d2h link.
+    pending = None  # (enc_device, batch_np)
+    inflight = collections.deque()
     batch_iter = iter(dataloader)
     batch_idx = 0
     while True:
         nxt = next(batch_iter, None)
         if nxt is not None:
             enc = engine.encode(nxt["x"], nxt["pos"])  # async dispatch
-            # start async host copies (active cubes + point-cloud outputs)
+            # start async host copies (brick pages + point-cloud outputs)
             engine.prefetch(enc, extra_keys=(
                 "pred_nocs", "pred_nocs_confidence", "per_point_logits",
                 "global_logits", "global_feature"))
@@ -190,37 +226,20 @@ def main(cfg, run_dir=None) -> pathlib.Path:
 
         if pending is not None:
             enc, batch_np = pending
-            # host marching cubes for the batch (one active-cube fetch),
-            # then one batched warp program
+            # host marching cubes for the batch (one brick-page fetch),
+            # then dispatch one batched warp program
             meshes = engine.extract_meshes(enc)
-            warps = engine.warp_batch(enc, meshes)
-            enc_np = {k: np.asarray(v) for k, v in enc.items()
-                      if k in ("pred_nocs", "pred_nocs_confidence",
-                               "per_point_logits", "global_logits",
-                               "global_feature")}
-            b = batch_np["x"].shape[0]
-            for item in range(b):
-                dataset_idx = int(batch_np["dataset_idx"][item])
-                row = val_dataset.groups_df.iloc[dataset_idx]
-                group_key = row.group_key
-                attrs = {k: row[k] for k in
-                         ("scale", "gender", "sample_id", "garment_name",
-                          "grip_vertex_idx")}
-                for k in ("gender", "grip_vertex_idx"):
-                    attrs[k] = int(attrs[k])
-                attrs["batch_idx"] = batch_idx
-                out_group = output_samples.require_group(group_key)
-                out_group.attrs.put(attrs)
-                process_item(engine, enc_np, item, batch_np,
-                             input_samples_group[group_key], out_group,
-                             pred_cfg, meshes[item], warps[item])
-                n_done += 1
-            logger.log({"prediction_batch_idx": batch_idx}, step=batch_idx)
+            handle = engine.warp_dispatch(enc, meshes)
+            inflight.append((enc, batch_np, meshes, handle, batch_idx))
             batch_idx += 1
+            while len(inflight) > 2:
+                finalize(inflight.popleft())
 
         pending = nxt_pending
         if pending is None:
             break
+    while inflight:
+        finalize(inflight.popleft())
 
     elapsed = time.time() - t_start
     logger.summary["garments"] = n_done

@@ -31,10 +31,9 @@ from garmentnets_tpu.models.pipeline import (
 from garmentnets_tpu.ops.gaussian import gaussian_gradient_magnitude
 from garmentnets_tpu.ops.dense_decode import dense_decode, eval_layers
 from garmentnets_tpu.ops.isosurface import (
-    extract_active_blocks, expand_active_blocks, pack_block_pages,
-    unpack_block_pages)
+    extract_active_bricks, pack_brick_pages, unpack_brick_pages)
 from garmentnets_tpu.ops.marching_cubes import (
-    marching_cubes_active, marching_cubes)
+    marching_cubes_bricks, marching_cubes)
 
 
 class PredictEngine:
@@ -65,16 +64,19 @@ class PredictEngine:
             # so larger grids don't hit the full-volume overflow fallback
             active_cap = int(65536 * max(1.0, (volume_size / 128) ** 2))
         self.active_cap = active_cap
-        # extraction works on 4^3-cube BLOCKS (ops/isosurface block path):
-        # 64x smaller compaction problem on device and ~2x fewer link bytes
-        # (a block ships its 5^3 support once, 129 B, instead of up to 64
-        # cubes x 12 B). A calibrated cloth shell averages ~20 active cubes
-        # per active block, so cap/16 blocks keeps >= the cube-cap's
-        # headroom; block arrays cross the link in fixed-size pages so only
-        # ceil(count/page) pages are fetched (the cap costs HBM, not link).
-        block_cap = max(64, active_cap // 16)
-        self.block_page = min(1024, block_cap)
-        self.block_cap = -(-block_cap // self.block_page) * self.block_page
+        # extraction ships non-overlapping 4^3 int8 BRICKS (ops/isosurface
+        # brick path): the compaction problem is 64x smaller than per-cube
+        # and the value fetch is a contiguous 64-byte row gather (the 5^3
+        # overlapping-support gather it replaces was the largest encode
+        # component). The shipped set is the support-active blocks plus
+        # their negative-face neighbors (~2.2x the active-block count); a
+        # calibrated cloth shell averages ~20 active cubes per active block,
+        # so cap/8 bricks keeps >= the cube-cap's headroom. Brick records
+        # cross the link in fixed-size pages so only ceil(count/page) pages
+        # are fetched (the cap costs HBM, not link bytes).
+        brick_cap = max(64, active_cap // 8)
+        self.brick_page = min(1024, brick_cap)
+        self.brick_cap = -(-brick_cap // self.brick_page) * self.brick_page
         self.precision = precision
         self.return_volume = return_volume
         self.use_hole_prediction = (use_hole_prediction
@@ -132,12 +134,12 @@ class PredictEngine:
                            self.volume_size, slab=self._slab,
                            precision=self.precision)
         ggm = gaussian_gradient_magnitude(wnf, self.gradient_sigma)
-        base, vals, counts = extract_active_blocks(
-            wnf, self.iso_level, self.block_cap)
+        base, vals, counts = extract_active_bricks(
+            wnf, self.iso_level, self.brick_cap)
 
         nd = p2_result["nocs_data"]
         out = {
-            "active_pages": pack_block_pages(base, vals, self.block_page),
+            "active_pages": pack_brick_pages(base, vals, self.brick_page),
             "active_counts": counts,
             "wnf_ggm": ggm,                      # stays on device
             "feature_volume": feature_volume,    # stays on device
@@ -193,13 +195,19 @@ class PredictEngine:
         """Start async device->host copies for the arrays the host stage will
         read; overlaps the slow link with device compute and host MC.
 
-        Active cubes are paged: counts + page 0 are fetched eagerly; the
-        remaining ceil(count/page) pages are requested in extract_meshes
-        once counts arrive, so link bytes track the true active count while
-        the generous cap only costs HBM. (A device-side slice to the true
-        count was measured far slower — 5.3 vs 18 garments/sec — because it
-        serializes a counts round-trip AND a fresh device dispatch onto the
-        critical path; picking pre-materialized page buffers does neither.)
+        Brick records are paged: counts + a SPECULATIVE page prefix sized by
+        the previous batch's true page count are fetched eagerly (batches in
+        a run have similar surface area, so the speculation almost always
+        covers the need; a miss just means extract_meshes waits for the
+        remainder). The remaining ceil(count/page) pages are requested in
+        extract_meshes once counts arrive, so link bytes track the true
+        shipped count while the generous cap only costs HBM. (A device-side
+        slice to the true count was measured far slower — 5.3 vs 18
+        garments/sec — because it serializes a counts round-trip AND a fresh
+        device dispatch onto the critical path; picking pre-materialized
+        page buffers does neither. Speculative async copies issued at
+        dispatch time begin streaming the moment the encode program
+        finishes, hiding the page transfer under the host MC stage.)
         """
         for key in tuple(self.PREFETCH_KEYS) + tuple(extra_keys):
             arr = enc.get(key)
@@ -207,7 +215,10 @@ class PredictEngine:
                 arr.copy_to_host_async()
         pages = enc.get("active_pages")
         if pages:
-            pages[0].copy_to_host_async()
+            spec = max(1, min(getattr(self, "_spec_pages", 1), len(pages)))
+            for p in pages[:spec]:
+                if hasattr(p, "copy_to_host_async"):
+                    p.copy_to_host_async()
 
     def request_active(self, enc: dict) -> int:
         """Issues the async copies for the active-page prefix covering this
@@ -222,17 +233,18 @@ class PredictEngine:
         cached by the runtime)."""
         counts = np.asarray(enc["active_counts"])
         kmax = int(counts.max()) if counts.size else 0
-        if 0 < kmax <= self.block_cap:
-            n_pages = -(-kmax // self.block_page)
+        if 0 < kmax <= self.brick_cap:
+            n_pages = -(-kmax // self.brick_page)
             for p in enc["active_pages"][:n_pages]:
                 if hasattr(p, "copy_to_host_async"):
                     p.copy_to_host_async()
         return kmax
 
     def extract_meshes(self, enc: dict) -> list:
-        """Fetch active cubes once for the batch and run host marching
-        tetrahedra per garment. Returns a list of (verts, faces) or None
-        (no surface / NaN-sentinel case)."""
+        """Fetch the shipped brick pages once for the batch and run the host
+        C++ marching-cubes kernel per garment (it discovers the straddling
+        cubes directly from the bricks). Returns a list of (verts, faces) or
+        None (no surface / NaN-sentinel case)."""
         counts = np.asarray(enc["active_counts"])
         B = len(counts)
         kmax = int(counts.max()) if B else 0
@@ -241,7 +253,7 @@ class PredictEngine:
         results: list = [None] * B
         if kmax == 0:
             return results
-        if kmax > self.block_cap:
+        if kmax > self.brick_cap:
             # capacity overflow: fall back to full-volume MC (rare)
             wnf = np.asarray(self._dense_wnf(enc))
             for b in range(B):
@@ -254,23 +266,21 @@ class PredictEngine:
                     pass
             return results
         pages = enc["active_pages"]
-        n_pages = max(1, -(-kmax // self.block_page))
-        for p in pages[1:n_pages]:       # page 0 already in flight
+        n_pages = max(1, -(-kmax // self.brick_page))
+        self._spec_pages = n_pages       # speculation for the next prefetch
+        for p in pages[1:n_pages]:       # prefix may already be in flight
             if hasattr(p, "copy_to_host_async"):
                 p.copy_to_host_async()
-        blk_base, blk_vals = unpack_block_pages(pages[:n_pages])
+        brick_idx, brick_vals = unpack_brick_pages(pages[:n_pages])
         for b in range(B):
             n = int(counts[b])
             if n == 0:
                 continue
-            cube_base, cube_vals = expand_active_blocks(
-                blk_base[b, :n], blk_vals[b, :n], self.iso_level, S)
-            if len(cube_base) == 0:
-                continue
             try:
-                v, f = marching_cubes_active(
-                    cube_base, cube_vals, (S, S, S), self.iso_level,
-                    spacing, gradient_direction=self.gradient_direction)
+                v, f = marching_cubes_bricks(
+                    brick_idx[b, :n], brick_vals[b, :n], (S, S, S),
+                    self.iso_level, spacing,
+                    gradient_direction=self.gradient_direction)
                 results[b] = (v, f)
             except ValueError:
                 pass

@@ -76,7 +76,7 @@ struct EdgeMap {
 };
 
 struct Extractor {
-    const float* vol;          // full volume, or null in active-list mode
+    const float* vol;          // full volume, or null in sparse modes
     int64_t nx, ny, nz;
     float level;
     float sx, sy, sz;
@@ -86,6 +86,11 @@ struct Extractor {
     // active-list mode: per-cube corner values keyed by global vertex id
     EdgeMap val_map;           // reused as id->slot map (key = global id)
     std::vector<float> sparse_vals;
+    // brick mode: quantized 4^3 int8 bricks + dense block-grid row map
+    const int8_t* bricks = nullptr;       // [n_bricks * 64], local C-order
+    const int32_t* brick_row = nullptr;   // [nbx*nby*nbz] -> row or -1
+    int64_t nbx = 0, nby = 0, nbz = 0;
+    float qscale = 0.f;                   // dequant: q / qscale + level
 
     Extractor(const float* v, int64_t nx_, int64_t ny_, int64_t nz_,
               float level_, float sx_, float sy_, float sz_, bool ascent_,
@@ -98,6 +103,17 @@ struct Extractor {
 
     inline float val(int64_t g) const {
         if (vol) return vol[g];
+        if (bricks) {
+            // brick mode: direct computed lookup, no hashing. Dequantization
+            // is float32 division to bit-match the numpy host path
+            // (q.astype(f32) / VAL_QUANT_SCALE + level).
+            int64_t z = g % nz, y = (g / nz) % ny, x = g / (nz * ny);
+            int64_t row = brick_row[((x >> 2) * nby + (y >> 2)) * nbz
+                                    + (z >> 2)];
+            int8_t q = bricks[row * 64 + (((x & 3) << 4) | ((y & 3) << 2)
+                                          | (z & 3))];
+            return (float)q / qscale + level;
+        }
         // active mode: lookup in sparse store (key always present —
         // every queried id was registered by note_corner)
         int32_t* slot = const_cast<EdgeMap&>(val_map).slot((uint64_t)g);
@@ -113,11 +129,19 @@ struct Extractor {
     }
 
     inline int32_t edge_vertex(int64_t ga, int64_t gb) {
-        if (ga > gb) { int64_t t = ga; ga = gb; gb = t; }
+        return edge_vertex_v(ga, gb, val(ga), val(gb));
+    }
+
+    // value-carrying variant: callers that already hold the corner values
+    // (the MC cube processor, the brick mode) skip the val() lookups
+    inline int32_t edge_vertex_v(int64_t ga, int64_t gb, float va, float vb) {
+        if (ga > gb) {
+            int64_t t = ga; ga = gb; gb = t;
+            float tv = va; va = vb; vb = tv;
+        }
         uint64_t key = ((uint64_t)ga << 32) | (uint64_t)gb;
         int32_t* v = edge_map.slot(key);
         if (*v >= 0) return *v;
-        float va = val(ga), vb = val(gb);
         float t = (vb != va) ? (level - va) / (vb - va) : 0.5f;
         if (t < 0.f) t = 0.f;
         if (t > 1.f) t = 1.f;
@@ -226,13 +250,15 @@ struct Extractor {
     static const int FACE_C[6][4];    // face -> cyclic corner quad
     static const int FACE_E[6][4];    // face -> edge between corner k, k+1
 
-    // marching-cubes mode: marching squares per face -> loops -> fans
-    inline void process_cube_mc(int64_t base, const int64_t* off) {
+    // marching-cubes mode: marching squares per face -> loops -> fans.
+    // vin (optional) carries pre-fetched corner values (brick mode).
+    inline void process_cube_mc(int64_t base, const int64_t* off,
+                                const float* vin = nullptr) {
         float v[8];
         bool in[8];
         int n_in = 0;
         for (int c = 0; c < 8; ++c) {
-            v[c] = val(base + off[c]);
+            v[c] = vin ? vin[c] : val(base + off[c]);
             in[c] = ascent ? (v[c] > level) : (v[c] < level);
             n_in += in[c];
         }
@@ -312,8 +338,10 @@ struct Extractor {
             if (n < 3) continue;
             int32_t vid[12];
             for (int i = 0; i < n; ++i)
-                vid[i] = edge_vertex(base + off[EDGE_C[loop[i]][0]],
-                                     base + off[EDGE_C[loop[i]][1]]);
+                vid[i] = edge_vertex_v(base + off[EDGE_C[loop[i]][0]],
+                                       base + off[EDGE_C[loop[i]][1]],
+                                       v[EDGE_C[loop[i]][0]],
+                                       v[EDGE_C[loop[i]][1]]);
             for (int i = 1; i + 1 < n; ++i) {
                 if (vid[0] == vid[i] || vid[i] == vid[i + 1]
                         || vid[0] == vid[i + 1])
@@ -332,9 +360,10 @@ struct Extractor {
 
     int method = 0;  // 0 = marching cubes, 1 = marching tetrahedra
 
-    inline void process_cube(int64_t base, const int64_t* corner_off) {
+    inline void process_cube(int64_t base, const int64_t* corner_off,
+                             const float* vin = nullptr) {
         if (method == 0) {
-            process_cube_mc(base, corner_off);
+            process_cube_mc(base, corner_off, vin);
             return;
         }
         for (int t = 0; t < 6; ++t)
@@ -384,6 +413,91 @@ struct Extractor {
             int64_t base = (int64_t)cube_idx[i];
             if (base < 0) continue;
             process_cube(base, corner_off);
+        }
+    }
+
+    // brick mode: discovers the straddling cubes itself. For every local
+    // voxel of every shipped brick that is a valid cube origin, gathers the
+    // 8 corners from (up to 8) bricks; a cube with a missing corner brick
+    // cannot straddle (its origin block would be support-active and all its
+    // neighbors shipped), so it is skipped. Emits exactly the cube set of
+    // the device's extract_active_cubes on the dequantized field.
+    void run_bricks(const int32_t* brick_idx, int64_t n_bricks) {
+        int64_t corner_off[8];
+        corner_offsets(corner_off);
+        static const int DX[8] = {0, 1, 1, 0, 0, 1, 1, 0};
+        static const int DY[8] = {0, 0, 1, 1, 0, 0, 1, 1};
+        static const int DZ[8] = {0, 0, 0, 0, 1, 1, 1, 1};
+        // per-cube support index of each corner within the 5^3 cache
+        int sup_idx[4][4][4][8];
+        for (int lx = 0; lx < 4; ++lx)
+            for (int ly = 0; ly < 4; ++ly)
+                for (int lz = 0; lz < 4; ++lz)
+                    for (int c = 0; c < 8; ++c)
+                        sup_idx[lx][ly][lz][c] =
+                            ((lx + DX[c]) * 5 + (ly + DY[c])) * 5
+                            + (lz + DZ[c]);
+        float sup[125];
+        bool okv[125];
+        for (int64_t i = 0; i < n_bricks; ++i) {
+            int64_t b = (int64_t)brick_idx[i];
+            if (b < 0) continue;  // padding
+            int64_t bzi = b % nbz, byi = (b / nbz) % nby,
+                    bxi = b / (nbz * nby);
+            int64_t bx = bxi * 4, by = byi * 4, bz = bzi * 4;
+            // rows of the 8 bricks covering the 5^3 support (self + the
+            // positive-face neighbors); -1 = absent or out of grid
+            int64_t rows[8];
+            for (int d = 0; d < 8; ++d) {
+                int64_t qx = bxi + ((d >> 2) & 1), qy = byi + ((d >> 1) & 1),
+                        qz = bzi + (d & 1);
+                rows[d] = (qx < nbx && qy < nby && qz < nbz)
+                              ? brick_row[(qx * nby + qy) * nbz + qz] : -1;
+            }
+            // dequantize the 5^3 support once per brick (the division
+            // bit-matches the numpy host path)
+            for (int a = 0; a < 5; ++a) {
+                int da = a >> 2;
+                for (int c = 0; c < 5; ++c) {
+                    int dc = c >> 2;
+                    for (int e = 0; e < 5; ++e) {
+                        int idx = (a * 5 + c) * 5 + e;
+                        int64_t row = rows[(da << 2) | (dc << 1) | (e >> 2)];
+                        if (row < 0) { okv[idx] = false; continue; }
+                        int8_t q = bricks[row * 64
+                            + (((a & 3) << 4) | ((c & 3) << 2) | (e & 3))];
+                        sup[idx] = (float)q / qscale + level;
+                        okv[idx] = true;
+                    }
+                }
+            }
+            for (int lx = 0; lx < 4; ++lx) {
+                int64_t gx = bx + lx;
+                if (gx + 1 >= nx) break;
+                for (int ly = 0; ly < 4; ++ly) {
+                    int64_t gy = by + ly;
+                    if (gy + 1 >= ny) break;
+                    int64_t base_row = (gx * ny + gy) * nz + bz;
+                    for (int lz = 0; lz < 4; ++lz) {
+                        int64_t gz = bz + lz;
+                        if (gz + 1 >= nz) break;
+                        const int* si = sup_idx[lx][ly][lz];
+                        float v8[8];
+                        bool ok = true, any_in = false, any_out = false;
+                        for (int c = 0; c < 8; ++c) {
+                            int idx = si[c];
+                            if (!okv[idx]) { ok = false; break; }
+                            v8[c] = sup[idx];
+                            bool in = ascent ? (v8[c] > level)
+                                             : (v8[c] < level);
+                            any_in |= in;
+                            any_out |= !in;
+                        }
+                        if (!ok || !any_in || !any_out) continue;
+                        process_cube(base_row + lz, corner_off, v8);
+                    }
+                }
+            }
         }
     }
 };
@@ -446,6 +560,42 @@ int extract_isosurface_active(
                  (size_t)n_active);
     ex.method = method;
     ex.run_active(cube_idx, corner_vals, n_active);
+    int64_t nv = (int64_t)(ex.mesh.verts.size() / 3);
+    int64_t nf = (int64_t)(ex.mesh.faces.size() / 3);
+    *nv_out = nv;
+    *nf_out = nf;
+    *verts_out = (float*)malloc(sizeof(float) * 3 * (nv ? nv : 1));
+    *faces_out = (int32_t*)malloc(sizeof(int32_t) * 3 * (nf ? nf : 1));
+    if (nv) memcpy(*verts_out, ex.mesh.verts.data(), sizeof(float) * 3 * nv);
+    if (nf) memcpy(*faces_out, ex.mesh.faces.data(), sizeof(int32_t) * 3 * nf);
+    return 0;
+}
+
+// Brick variant: non-overlapping 4^3 int8 bricks (the TPU predict engine's
+// production wire format — see ops/isosurface.extract_active_bricks).
+// brick_idx holds flat indices into the (nx/4, ny/4, nz/4) block grid
+// (-1 entries are padding); brick_vals holds 64 side-preserving quantized
+// values per brick (local C-order); dequantization is q / qscale + level.
+// Discovers the straddling cubes internally (run_bricks), replacing the
+// former host-python block expansion step.
+int extract_isosurface_bricks(
+        const int32_t* brick_idx, const int8_t* brick_vals, int64_t n_bricks,
+        int64_t nx, int64_t ny, int64_t nz,
+        float level, float qscale, float sx, float sy, float sz,
+        int ascent, int method,
+        float** verts_out, int64_t* nv_out,
+        int32_t** faces_out, int64_t* nf_out) {
+    Extractor ex(nullptr, nx, ny, nz, level, sx, sy, sz, ascent != 0,
+                 (size_t)n_bricks * 8);
+    ex.method = method;
+    ex.bricks = brick_vals;
+    ex.qscale = qscale;
+    ex.nbx = nx / 4; ex.nby = ny / 4; ex.nbz = nz / 4;
+    std::vector<int32_t> row(ex.nbx * ex.nby * ex.nbz, -1);
+    for (int64_t i = 0; i < n_bricks; ++i)
+        if (brick_idx[i] >= 0) row[brick_idx[i]] = (int32_t)i;
+    ex.brick_row = row.data();
+    ex.run_bricks(brick_idx, n_bricks);
     int64_t nv = (int64_t)(ex.mesh.verts.size() / 3);
     int64_t nf = (int64_t)(ex.mesh.faces.size() / 3);
     *nv_out = nv;

@@ -141,38 +141,40 @@ def unpack_active_pages(pages, level: float):
 
 
 # ---------------------------------------------------------------------------
-# Block-level extraction: the compaction cost of the per-cube path above is
-# dominated by a searchsorted over the (S-1)^3 cube grid (~120 ms at 128^3,
-# the single largest piece of the encode program). Grouping cubes into 4^3
-# blocks shrinks the compaction problem 64x AND the link bytes ~2x (a block
-# ships its 5^3 corner-value support once — 129 B — instead of 64 cubes x
-# 12 B with every interior value repeated 8x). Block activity is computed
-# EXACTLY by min/max pooling: a 5^3 support holds values on both sides of
-# the iso level iff some adjacent pair inside it straddles it, and every
-# such pair is an edge of a cube whose origin lies in the block.
+# Brick-level extraction: the predict engine's production path. The volume is
+# quantized to int8 once (dense, vectorized) and reshaped into NON-overlapping
+# 4^3 "bricks" (64 B each, brick-major layout); the shipped set is the
+# support-active blocks (5^3 min/max pooling straddle test, window 5 stride 4
+# — exact: a cube straddles iff an adjacent voxel pair in some block's
+# support straddles) DILATED by one block in each negative-face direction, so
+# every corner of every straddling cube lands in a shipped brick. Compaction
+# is a lax.sort over the 32^3 block grid, and the value fetch is a contiguous
+# 64-byte row gather from the brick-major tensor — the 5^3 overlapping-window
+# scalar gather this replaces was ~39 ms at production shapes; this is ~6 ms.
+# Cube discovery moves into the C++ marching-cubes kernel
+# (marching_cubes.marching_cubes_bricks), which sees exactly the cube set and
+# int8-dequantized corner values of extract_active_cubes(quantize=True).
 # ---------------------------------------------------------------------------
 
-BLOCK = 4          # cubes per block edge
-BLOCK_SUP = 125    # 5x5x5 corner-value support per block
+BLOCK = 4          # cubes/voxels per brick edge
+BRICK_RECORD = 68  # 4 base bytes + 64 int8 values per shipped brick
 
 
-@functools.partial(jax.jit, static_argnames=("level", "block_cap"))
-def extract_active_blocks(wnf: jax.Array, level: float, block_cap: int):
-    """wnf: [B, S, S, S] -> (block_base [B,block_cap] i32 flat grid index of
-    the block origin vertex (-1 pad), block_vals [B,block_cap,125] int8
-    quantized 5^3 support, block_counts [B] i32).
+@functools.partial(jax.jit, static_argnames=("level", "brick_cap"))
+def extract_active_bricks(wnf: jax.Array, level: float, brick_cap: int):
+    """wnf: [B, S, S, S] -> (brick_idx [B,brick_cap] i32 flat index into the
+    (S/4)^3 block grid (-1 pad), brick_vals [B,brick_cap,64] int8 quantized
+    4^3 voxel values in local C-order, counts [B] i32 shipped-brick counts).
 
-    S must be a multiple of BLOCK. Edge blocks whose support would read past
-    the grid use clamped (edge-replicated) gathers; the resulting duplicate
-    corners make out-of-range cubes corner-constant, so the host-side
-    expansion drops them. counts may exceed block_cap (host falls back to
-    the full-volume path). Quantization matches extract_active_cubes
-    (shared corners quantize identically -> crack-free meshes)."""
+    S must be a multiple of BLOCK. counts may exceed brick_cap (host falls
+    back to the full-volume path). The shipped set covers the support-active
+    blocks and their 7 negative-face neighbors; quantization is
+    side-preserving (shared voxels quantize identically -> crack-free)."""
     B, S = wnf.shape[0], wnf.shape[1]
     assert S % BLOCK == 0, S
-    nb = S // BLOCK                       # block grid edge
-    # exact block activity via neutral-padded min/max pooling over the 5^3
-    # support (window 5, stride 4; high-edge pad of 1 covers the last block)
+    nb = S // BLOCK
+    # support-activity: 5^3 min/max pooling, window 5 stride 4 (high-edge
+    # pad 1 covers the last block's truncated support)
     dims = (1, 5, 5, 5)
     strides = (1, BLOCK, BLOCK, BLOCK)
     pad = ((0, 0), (0, 1), (0, 1), (0, 1))
@@ -181,83 +183,101 @@ def extract_active_blocks(wnf: jax.Array, level: float, block_cap: int):
     bmin = jax.lax.reduce_window(wnf, jnp.inf, jax.lax.min, dims, strides,
                                  pad)
     active = jnp.logical_and(bmin <= level, bmax > level)    # [B,nb,nb,nb]
-    flat = active.reshape(B, nb ** 3)
+    # ship-set: brick b is shipped iff some block a in b - {0,1}^3 is active
+    # (i.e. b holds corner values of cubes originating in a)
+    shipped = jax.lax.reduce_window(
+        active, False, jax.lax.bitwise_or, (1, 2, 2, 2), (1, 1, 1, 1),
+        ((0, 0), (1, 0), (1, 0), (1, 0)))
+    flat = shipped.reshape(B, nb ** 3)
     counts = flat.sum(axis=1).astype(jnp.int32)
 
-    csum = jnp.cumsum(flat.astype(jnp.int32), axis=1)
-    targets = jnp.arange(1, block_cap + 1, dtype=jnp.int32)
-    blk_idx = jax.vmap(lambda row: jnp.searchsorted(row, targets))(csum)
-    valid = targets[None, :] <= counts[:, None]
-    blk_idx = jnp.where(valid, blk_idx, 0)
+    # compaction: ascending sort of (shipped ? idx : 2^30) — measured ~2x
+    # faster than the searchsorted-over-cumsum formulation at this size
+    cap = min(brick_cap, nb ** 3)    # a small grid can't fill a big cap
+    idx = jnp.arange(nb ** 3, dtype=jnp.int32)
+    keys = jnp.where(flat, idx[None, :], jnp.int32(2 ** 30))
+    brick_idx = jax.lax.sort(keys, dimension=1)[:, :cap]
+    valid = jnp.arange(1, cap + 1,
+                       dtype=jnp.int32)[None, :] <= counts[:, None]
 
-    bz = (blk_idx % nb) * BLOCK
-    by = ((blk_idx // nb) % nb) * BLOCK
-    bx = (blk_idx // (nb * nb)) * BLOCK
-    # 5^3 support with per-axis clamp (edge replication)
-    r = jnp.arange(5, dtype=jnp.int32)
-    gx = jnp.minimum(bx[..., None] + r, S - 1)       # [B,cap,5]
-    gy = jnp.minimum(by[..., None] + r, S - 1)
-    gz = jnp.minimum(bz[..., None] + r, S - 1)
-    gidx = ((gx[:, :, :, None, None] * S + gy[:, :, None, :, None]) * S
-            + gz[:, :, None, None, :]).reshape(B, block_cap * BLOCK_SUP)
-    vals = jnp.take_along_axis(wnf.reshape(B, -1), gidx, axis=1)
-    vals = vals.reshape(B, block_cap, BLOCK_SUP)
-    q = _quantize_vals(vals, level)
-    base = (bx * S + by) * S + bz
-    base = jnp.where(valid, base, -1).astype(jnp.int32)
-    return base, q, counts
+    # brick-major int8 layout + contiguous row gather
+    q = _quantize_vals(wnf, level)                           # [B,S,S,S] i8
+    bricks = q.reshape(B, nb, BLOCK, nb, BLOCK, nb, BLOCK)
+    bricks = bricks.transpose(0, 1, 3, 5, 2, 4, 6).reshape(B, nb ** 3, 64)
+    safe_idx = jnp.where(valid, brick_idx, 0)
+    vals = jnp.take_along_axis(bricks, safe_idx[..., None], axis=1)
+    brick_idx = jnp.where(valid, brick_idx, -1)
+    if cap < brick_cap:
+        pad = brick_cap - cap
+        brick_idx = jnp.pad(brick_idx, ((0, 0), (0, pad)),
+                            constant_values=-1)
+        vals = jnp.pad(vals, ((0, 0), (0, pad), (0, 0)))
+    return brick_idx, vals, counts
 
 
-def _expand_lut():
-    """[64 cubes, 8 corners] indices into the flattened 5^3 block support."""
+def bricks_to_cube_list(brick_idx, brick_vals_q, level: float,
+                        volume_size: int):
+    """Host-side brick -> active-cube-list expansion for one garment (the
+    numpy mirror of the C++ kernel's cube discovery; used as the no-g++
+    fallback and as the test oracle).
+
+    brick_idx [n] int32 block-grid indices, brick_vals_q [n,64] int8 ->
+    (cube_base [m] i64 flat VOXEL index of each cube origin, cube_vals
+    [m,8] f32) matching extract_active_cubes on the dequantized field."""
     import numpy as np
-    ii, jj, kk = np.meshgrid(np.arange(4), np.arange(4), np.arange(4),
-                             indexing="ij")
-    cube = np.stack([ii, jj, kk], axis=-1).reshape(64, 3)    # local origins
-    corn = cube[:, None, :] + np.asarray(CUBE_CORNERS)[None, :, :]
-    return (corn[..., 0] * 25 + corn[..., 1] * 5 + corn[..., 2]), cube
-
-
-_EXPAND_LUT = None
-
-
-def expand_active_blocks(block_base, block_vals_q, level: float,
-                         volume_size: int):
-    """Host-side block -> active-cube-list expansion for one garment.
-
-    block_base [n] int32, block_vals_q [n,125] int8 -> (cube_base [m] i64,
-    cube_vals [m,8] f32) with exactly the per-cube activity rule of
-    extract_active_cubes applied to the dequantized values."""
-    import numpy as np
-    global _EXPAND_LUT
-    if _EXPAND_LUT is None:
-        _EXPAND_LUT = _expand_lut()
-    lut, cube_off = _EXPAND_LUT
     S = volume_size
-    vals = block_vals_q.astype(np.float32) / VAL_QUANT_SCALE + level
-    cube_vals = vals[:, lut]                              # [n, 64, 8]
+    nb = S // BLOCK
+    brick_idx = np.asarray(brick_idx)
+    keep = brick_idx >= 0
+    brick_idx = brick_idx[keep].astype(np.int64)
+    vals_q = np.asarray(brick_vals_q)[keep]
+    if len(brick_idx) == 0:
+        return (np.zeros((0,), np.int64), np.zeros((0, 8), np.float32))
+    # dense row map over the block grid
+    row_of = np.full(nb ** 3, -1, np.int64)
+    row_of[brick_idx] = np.arange(len(brick_idx))
+    # global voxel coords of every local voxel of every shipped brick
+    bz = brick_idx % nb
+    by = (brick_idx // nb) % nb
+    bx = brick_idx // (nb * nb)
+    loc = np.arange(BLOCK)
+    lx, ly, lz = np.meshgrid(loc, loc, loc, indexing="ij")
+    gx = bx[:, None] * BLOCK + lx.reshape(-1)[None, :]     # [n, 64]
+    gy = by[:, None] * BLOCK + ly.reshape(-1)[None, :]
+    gz = bz[:, None] * BLOCK + lz.reshape(-1)[None, :]
+    # candidate cube origins (exclude the high grid edge)
+    cand = ((gx <= S - 2) & (gy <= S - 2) & (gz <= S - 2)).reshape(-1)
+    cgx, cgy, cgz = (a.reshape(-1)[cand] for a in (gx, gy, gz))
+    # 8 corner values via brick/row lookup; missing brick -> cube skipped
+    off = np.asarray(CUBE_CORNERS)
+    cx = cgx[:, None] + off[None, :, 0]
+    cy = cgy[:, None] + off[None, :, 1]
+    cz = cgz[:, None] + off[None, :, 2]
+    nbrick = row_of[((cx // BLOCK) * nb + (cy // BLOCK)) * nb
+                    + (cz // BLOCK)]                       # [m, 8]
+    ok = (nbrick >= 0).all(axis=1)
+    local = ((cx % BLOCK) * BLOCK + (cy % BLOCK)) * BLOCK + (cz % BLOCK)
+    qv = np.zeros((len(cgx), 8), np.int8)
+    qv[ok] = vals_q[nbrick[ok], local[ok]]
+    cube_vals = dequantize_vals(qv, level)
     inside = cube_vals > level
-    active = inside.any(axis=-1) & ~inside.all(axis=-1)   # [n, 64]
-    # drop out-of-range cubes in edge blocks: their clamped (duplicated)
-    # support corners can still straddle the level, but a cube origin past
-    # S-2 on any axis does not exist in the (S-1)^3 cube grid
-    bz = block_base % S
-    by = (block_base // S) % S
-    bx = block_base // (S * S)
-    borig = np.stack([bx, by, bz], axis=-1)               # [n, 3]
-    in_range = ((borig[:, None, :] + cube_off[None, :, :]) <= S - 2).all(
-        axis=-1)                                          # [n, 64]
-    active &= in_range
-    off = ((cube_off[:, 0] * S + cube_off[:, 1]) * S
-           + cube_off[:, 2]).astype(np.int64)             # [64]
-    bases = block_base.astype(np.int64)[:, None] + off[None, :]
-    sel = active.reshape(-1)
-    return bases.reshape(-1)[sel], cube_vals.reshape(-1, 8)[sel]
+    active = ok & inside.any(axis=1) & ~inside.all(axis=1)
+    base = (cgx.astype(np.int64) * S + cgy) * S + cgz
+    return base[active], cube_vals[active]
 
 
-def pack_block_pages(base, vals_q, page: int):
-    """Like pack_active_pages but for block records: 4 base bytes + 125
-    quantized support bytes per block -> tuple of [B,page,129]-uint8 pages."""
+def pack_brick_pages(base, vals_q, page: int):
+    """Packs (brick_idx [B,cap] i32, vals [B,cap,64] i8) into fixed-size
+    transfer pages: a tuple of [B, page, 68]-uint8 buffers (4 little-endian
+    index bytes + 64 quantized voxel bytes per brick).
+
+    Page layout exists purely for the device->host link: the host needs only
+    ceil(max(counts)/page) pages, so fetching per-page cuts the dominant
+    predict transfer from cap-sized to count-sized without putting a
+    device-side dynamic slice on the critical path (each page is its own
+    XLA output buffer — the host picks which to copy). Byte order is fixed
+    by shift arithmetic (not bitcast) so host decode is platform-independent.
+    cap must be a multiple of page."""
     B, cap = base.shape
     assert cap % page == 0, (cap, page)
     b32 = base.astype(jnp.uint32)
@@ -268,9 +288,9 @@ def pack_block_pages(base, vals_q, page: int):
     return tuple(jnp.split(packed, cap // page, axis=1))
 
 
-def unpack_block_pages(pages):
-    """Host inverse of pack_block_pages over the fetched page prefix:
-    (base [B, n*page] int32, vals_q [B, n*page, 125] int8)."""
+def unpack_brick_pages(pages):
+    """Host inverse of pack_brick_pages over the fetched page prefix:
+    (brick_idx [B, n*page] int32, vals_q [B, n*page, 64] int8)."""
     import numpy as np
     buf = np.concatenate([np.asarray(p) for p in pages], axis=1)
     base = (buf[:, :, 0].astype(np.uint32)

@@ -65,6 +65,15 @@ def _load_lib():
             ctypes.c_float, ctypes.c_float, ctypes.c_float, ctypes.c_float,
             ctypes.c_int, ctypes.c_int,
         ] + out_args
+        lib.extract_isosurface_bricks.restype = ctypes.c_int
+        lib.extract_isosurface_bricks.argtypes = [
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int8), ctypes.c_int64,
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_float, ctypes.c_float,
+            ctypes.c_float, ctypes.c_float, ctypes.c_float,
+            ctypes.c_int, ctypes.c_int,
+        ] + out_args
         lib.mt_free.argtypes = [ctypes.c_void_p]
         _LIB = lib
     except Exception:
@@ -141,6 +150,49 @@ def marching_cubes_active(cube_idx: np.ndarray, corner_vals: np.ndarray,
     else:
         verts, faces = _mc_numpy_active(
             cube_idx, corner_vals, dims, level, spacing, ascent)
+    if len(verts) == 0 or len(faces) == 0:
+        raise ValueError("no surface found at given iso level")
+    return verts, faces
+
+
+def marching_cubes_bricks(brick_idx: np.ndarray, brick_vals_q: np.ndarray,
+                          dims, level: float, spacing,
+                          gradient_direction: str = "ascent",
+                          method: str = "cubes"):
+    """Isosurface from device-extracted int8 bricks (the predict engine's
+    production wire format — ops/isosurface.extract_active_bricks).
+
+    brick_idx: [K] flat index into the (dims/4) block grid (-1 = padding);
+    brick_vals_q: [K, 64] side-preserving quantized voxel values in local
+    C-order. The C++ kernel discovers the straddling cubes directly from the
+    bricks (no host-python expansion step); the pure-Python fallback routes
+    through bricks_to_cube_list. Returns (verts, faces); raises ValueError
+    when no surface is produced (NaN-sentinel protocol parity)."""
+    from garmentnets_tpu.ops.isosurface import (
+        VAL_QUANT_SCALE, bricks_to_cube_list)
+    brick_idx = np.ascontiguousarray(brick_idx, np.int32)
+    brick_vals_q = np.ascontiguousarray(brick_vals_q, np.int8)
+    nx, ny, nz = dims
+    ascent = gradient_direction == "ascent"
+    if _load_lib() is not None:
+        lib = _load_lib()
+        verts, faces = _collect_mesh(lib.extract_isosurface_bricks, (
+            brick_idx.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            brick_vals_q.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
+            len(brick_idx), nx, ny, nz, ctypes.c_float(level),
+            ctypes.c_float(VAL_QUANT_SCALE),
+            ctypes.c_float(spacing[0]), ctypes.c_float(spacing[1]),
+            ctypes.c_float(spacing[2]), 1 if ascent else 0,
+            _METHOD_CODE[method]))
+    else:
+        cube_base, cube_vals = bricks_to_cube_list(
+            brick_idx, brick_vals_q, level, nx)
+        if method == "cubes":
+            verts, faces = _mc_python_cubes_active(
+                cube_base, cube_vals, dims, level, spacing, ascent)
+        else:
+            verts, faces = _mc_numpy_active(
+                cube_base, cube_vals, dims, level, spacing, ascent)
     if len(verts) == 0 or len(faces) == 0:
         raise ValueError("no surface found at given iso level")
     return verts, faces

@@ -148,12 +148,14 @@ def test_active_page_roundtrip():
     np.testing.assert_array_equal(got_base2, base[:, :2 * page])
 
 
-def test_block_extraction_matches_cube_extraction():
-    """extract_active_blocks + host expand must produce exactly the cube set
-    (and corner values) of extract_active_cubes on the dequantized field."""
+def test_brick_extraction_matches_cube_extraction():
+    """extract_active_bricks + host cube discovery must produce exactly the
+    cube set (and corner values) of extract_active_cubes on the dequantized
+    field, and the brick-mode mesh must match the active-list-mode mesh."""
     from garmentnets_tpu.ops.isosurface import (
-        extract_active_cubes, extract_active_blocks, expand_active_blocks,
-        dequantize_vals, pack_block_pages, unpack_block_pages)
+        extract_active_cubes, extract_active_bricks, bricks_to_cube_list,
+        dequantize_vals, pack_brick_pages, unpack_brick_pages)
+    from garmentnets_tpu.ops.marching_cubes import marching_cubes_bricks
     rng = np.random.RandomState(3)
     S, B = 32, 2
     # smooth random field crossing the level + an exact-boundary plateau
@@ -165,15 +167,17 @@ def test_block_extraction_matches_cube_extraction():
     wnf = jnp.asarray(vol)
 
     cb, cv, cc = extract_active_cubes(wnf, level, 32768, quantize=True)
-    bb, bv, bc = extract_active_blocks(wnf, level, 1024)
+    bb, bv, bc = extract_active_bricks(wnf, level, 512)
     assert int(np.asarray(cc).max()) <= 32768
-    assert int(np.asarray(bc).max()) <= 1024
-    # page round trip
-    pages = pack_block_pages(bb, bv, 128)
-    got_b, got_v = unpack_block_pages(pages)
+    assert int(np.asarray(bc).max()) <= 512
+    # page round trip (68-byte brick records)
+    pages = pack_brick_pages(bb, bv, 128)
+    assert pages[0].shape == (B, 128, 68)
+    got_b, got_v = unpack_brick_pages(pages)
     np.testing.assert_array_equal(got_b, np.asarray(bb))
     np.testing.assert_array_equal(got_v, np.asarray(bv))
 
+    spacing = (1.0 / (S - 1),) * 3
     for b in range(B):
         n_cubes = int(np.asarray(cc)[b])
         assert n_cubes > 100
@@ -184,10 +188,22 @@ def test_block_extraction_matches_cube_extraction():
         # paths must produce exactly the same cube set
         ref = {int(i): ref_vals[j] for j, i in enumerate(ref_base)}
         nb = int(np.asarray(bc)[b])
-        got_base, got_vals = expand_active_blocks(
+        got_base, got_vals = bricks_to_cube_list(
             np.asarray(bb)[b, :nb], np.asarray(bv)[b, :nb], level, S)
         assert len(got_base) == len(set(got_base.tolist()))  # no dup cubes
         got = {int(i): got_vals[j] for j, i in enumerate(got_base)}
         assert set(got.keys()) == set(ref.keys())
         for k in ref:
             np.testing.assert_allclose(got[k], ref[k], atol=1e-6)
+        # the brick-mode mesh (C++ cube discovery, or the python fallback)
+        # must equal the active-list mesh on the same dequantized values
+        v_ref, f_ref = marching_cubes_active(
+            ref_base, ref_vals, (S, S, S), level, spacing)
+        v_brk, f_brk = marching_cubes_bricks(
+            np.asarray(bb)[b, :nb], np.asarray(bv)[b, :nb], (S, S, S),
+            level, spacing)
+        assert len(v_brk) == len(v_ref)
+        assert len(f_brk) == len(f_ref)
+        s1 = set(map(tuple, np.round(v_brk, 4)))
+        s2 = set(map(tuple, np.round(v_ref, 4)))
+        assert s1 == s2

@@ -101,8 +101,16 @@ def main():
     jax.block_until_ready(variables)
     print(f"init: {time.time()-t0:.1f}s", file=sys.stderr)
 
+    # BENCH_DECODE=default|high|highest: dense-decode matmul precision
+    # (headline default 'high' is the parity-safe setting, see
+    # configs/predict_default.yaml decode_precision)
+    precision = {
+        "high": jax.lax.Precision.HIGH,
+        "default": jax.lax.Precision.DEFAULT,
+        "highest": jax.lax.Precision.HIGHEST,
+    }[os.environ.get("BENCH_DECODE", "high")]
     engine = PredictEngine(cfg, variables, volume_size=VOL,
-                           gradient_sigma=0.5)
+                           gradient_sigma=0.5, precision=precision)
 
     # a random net's WNF is iso-level noise (see docstring); substitute the
     # active-cube fields of a cloth-like surface so the host MC + warp stage

@@ -163,11 +163,18 @@ def main(cfg, run_dir=None) -> pathlib.Path:
 
     pred_cfg = dict(cfg["prediction"])
     volume_size = pred_cfg["volume_size"]
+    import jax
+    precision = {
+        "high": jax.lax.Precision.HIGH,
+        "default": jax.lax.Precision.DEFAULT,
+        "highest": jax.lax.Precision.HIGHEST,
+    }[str(pred_cfg.get("decode_precision", "high")).lower()]
     engine = PredictEngine(
         pipe_cfg, variables, volume_size=volume_size,
         gradient_sigma=pred_cfg["gradient_sigma"],
         iso_level=pred_cfg["iso_surface_level"],
         gradient_direction=pred_cfg["gradient_direction"],
+        precision=precision,
         use_hole_prediction=bool(pred_cfg.get("use_hole_prediction")),
         task_aabb=(val_dataset.cloth_sim_aabb
                    if pipe_cfg.volume_task_space else None))

@@ -142,30 +142,35 @@ def main():
     print(f"warp compile ({nv} verts): {time.time()-t0:.1f}s",
           file=sys.stderr)
 
-    # timed loop: 4-stage software pipeline — device encode(i+1) runs while
-    # the host does MC for i; warp results are collected at depth 2 (batch
-    # i-2) so they have a full iteration to stream over the slow link (the
-    # device executes warp(i) after encode(i+1), FIFO order, so depth-1
-    # collection stalls ~120 ms/batch on the result transfer); all
-    # device->host copies are issued asynchronously at dispatch time.
+    # timed loop: 5-stage software pipeline. Marching cubes for batch i runs
+    # while the device executes encode(i+1)/(i+2) — keeping TWO encodes in
+    # flight ahead of the MC stage means batch i's brick pages (which can
+    # only start streaming once encode(i) finishes) get a full iteration to
+    # cross the slow link before the host touches them. Warp results are
+    # likewise collected at depth 2 (the device executes warp(i) after the
+    # queued encodes, FIFO order). All device->host copies are issued
+    # asynchronously at dispatch time.
     import collections
     t_start = time.time()
     done = 0
-    enc = dict(engine.encode(batch["x"], batch["pos"]), **sub)
-    engine.prefetch(enc)
+    encs = collections.deque()
     warp_handles = collections.deque()
-    for i in range(N_BATCHES):
-        if i + 1 < N_BATCHES:
-            nxt = dict(engine.encode(batch["x"], batch["pos"]), **sub)
-            engine.prefetch(nxt)
-        else:
-            nxt = None
-        meshes = engine.extract_meshes(enc)
+
+    def pump(e):
+        meshes = engine.extract_meshes(e)
         while len(warp_handles) >= 2:
             engine.warp_collect(warp_handles.popleft())
-        warp_handles.append(engine.warp_dispatch(enc, meshes))
-        done += len(meshes)
-        enc = nxt
+        warp_handles.append(engine.warp_dispatch(e, meshes))
+        return len(meshes)
+
+    for i in range(N_BATCHES):
+        enc = dict(engine.encode(batch["x"], batch["pos"]), **sub)
+        engine.prefetch(enc)
+        encs.append(enc)
+        if len(encs) > 2:
+            done += pump(encs.popleft())
+    while encs:
+        done += pump(encs.popleft())
     while warp_handles:
         engine.warp_collect(warp_handles.popleft())
     elapsed = time.time() - t_start

@@ -8,15 +8,17 @@ device programs per batch instead of the reference's ~70 kernel launches:
       lattice via separable-interpolation MATMULS (ops/dense_decode — the
       reference loops host-side ArraySlicer chunks through grid_sample,
       predict.py:147-156) -> gaussian gradient magnitude on device ->
-      active-isosurface-cube extraction on device (ops/isosurface), so only
-      ~1 MB/garment crosses the slow device->host link instead of 17 MB.
+      active-brick extraction (ops/isosurface, int8, ~0.2 MB/garment
+      instead of 17 MB over the slow device->host link).
   program 2 (`warp`): surface-decoder query at marching-cubes vertices for
       the WHOLE batch at once (+ gradient-magnitude gather at those verts),
-      padded to shape buckets to bound recompiles.
+      padded to shape buckets to bound recompiles; results leave as ONE
+      channel-combined f16 buffer.
 
 Host work between the two is exactly the variable-size marching cubes.
 Batched multi-garment inference lifts the reference's bs==1 assert
-(predict.py:62); with a multi-device mesh the batch axis shards over devices.
+(predict.py:62); with a multi-device mesh the batch axis shards over
+devices.
 """
 from __future__ import annotations
 
@@ -137,6 +139,15 @@ class PredictEngine:
         base, vals, counts = extract_active_bricks(
             wnf, self.iso_level, self.brick_cap)
 
+        # NOTE on a rejected design: evaluating the warp decoder ON DEVICE
+        # at the crossing edges (ops/isosurface.extract_crossing_edges +
+        # the C++ kernel's per-vertex edge ranks) would remove the host
+        # vertex round trip entirely — but stream-compacting ~33k crossing
+        # edges out of 1.6M candidate slots costs ~60 ms on TPU (scatter and
+        # searchsorted both bottleneck on per-slot indirection, measured),
+        # more than the ~25 ms of h2d query upload it saves. The machinery
+        # remains available (and tested) for backends with cheap compaction.
+
         nd = p2_result["nocs_data"]
         out = {
             "active_pages": pack_brick_pages(base, vals, self.brick_page),
@@ -171,14 +182,15 @@ class PredictEngine:
                           + nn_idx[..., 2])
         ggm_flat = ggm.reshape(B, -1)
         ggm_at = jnp.take_along_axis(ggm_flat, vert_voxel_idx, axis=1)
-        res = {"warp_field": out.astype(jnp.float16),
-               "verts_ggm": ggm_at.astype(jnp.float16)}
+        # ONE combined output buffer: the d2h link serializes transfers with
+        # a ~27 ms per-transfer latency floor (docs/PERF.md link facts), so
+        # warp + ggm (+ hole logits) leave as channels of a single f16 array
+        cols = [out, ggm_at[..., None]]
         if self.use_hole_prediction:
-            res["mc_surface_logits"] = model.apply(
+            cols.append(model.apply(
                 variables, feature_volume, query_points, train=False,
-                method="mc_surface_decoder_forward")[..., 0].astype(
-                    jnp.float16)
-        return res
+                method="mc_surface_decoder_forward")[..., :1])
+        return jnp.concatenate(cols, axis=-1).astype(jnp.float16)
 
     # ------------------------------------------------------------------
     # host-facing API
@@ -299,8 +311,10 @@ class PredictEngine:
 
     def warp_dispatch(self, enc: dict, meshes: list):
         """Dispatch one batched warp + ggm-gather program over all garments'
-        MC verts; returns an opaque handle for warp_collect. Starts async
-        host copies of the results."""
+        MC verts; returns an opaque handle for warp_collect. Starts the
+        async host copy of the (single, channel-combined) result buffer —
+        with depth-2 collection it has a full pipeline iteration to stream
+        over the link."""
         B = len(meshes)
         sizes = [0 if m is None else len(m[0]) for m in meshes]
         vmax = max(sizes) if sizes else 0
@@ -309,30 +323,27 @@ class PredictEngine:
         padded = -(-vmax // self.warp_bucket) * self.warp_bucket
         q = np.zeros((B, padded, 3), np.float16)
         for b, m in enumerate(meshes):
-            if m is None:
-                continue
-            verts = m[0]
-            q[b, :len(verts)] = verts
+            if m is not None:
+                q[b, :len(m[0])] = m[0]
         out = self._warp(self.variables, enc["feature_volume"],
                          enc["wnf_ggm"], jnp.asarray(q))
-        for a in out.values():
-            if hasattr(a, "copy_to_host_async"):
-                a.copy_to_host_async()
+        if hasattr(out, "copy_to_host_async"):
+            out.copy_to_host_async()
         return (out, sizes)
 
-    @staticmethod
-    def warp_collect(handle) -> list:
+    def _split_channels(self, rows):
+        res = {"warp_field": rows[..., :3], "verts_ggm": rows[..., 3]}
+        if self.use_hole_prediction:
+            res["mc_surface_logits"] = rows[..., 4]
+        return res
+
+    def warp_collect(self, handle) -> list:
         out, sizes = handle
         if out is None:
             return [None] * len(sizes)
-        out = {key: np.asarray(a) for key, a in out.items()}
-        results = []
-        for b, n in enumerate(sizes):
-            if n == 0:
-                results.append(None)
-            else:
-                results.append({key: a[b, :n] for key, a in out.items()})
-        return results
+        out = np.asarray(out)
+        return [None if n == 0 else self._split_channels(out[b, :n])
+                for b, n in enumerate(sizes)]
 
     def warp_batch(self, enc: dict, meshes: list) -> list:
         """Dispatch + collect in one call (see warp_dispatch/warp_collect).
@@ -350,6 +361,9 @@ class PredictEngine:
         q[0, :v] = mc_verts
         S = self.volume_size
         ggm_dummy = jnp.zeros((1, S, S, S), jnp.float32)
-        out = self._warp(self.variables, feature_volume, ggm_dummy,
-                         jnp.asarray(q))
-        return {k: np.asarray(a)[0, :v] for k, a in out.items()}
+        out = np.asarray(self._warp(self.variables, feature_volume,
+                                    ggm_dummy, jnp.asarray(q)))
+        res = {"warp_field": out[0, :v, :3], "verts_ggm": out[0, :v, 3]}
+        if self.use_hole_prediction:
+            res["mc_surface_logits"] = out[0, :v, 4]
+        return res

@@ -31,6 +31,8 @@ namespace {
 struct Mesh {
     std::vector<float> verts;   // 3 * nv
     std::vector<int32_t> faces; // 3 * nf
+    std::vector<int32_t> ranks; // nv (brick mode w/ ranks: canonical
+                                //     crossing-edge rank of each vertex)
 };
 
 // open-addressing hash map: 64-bit edge key -> vertex index; grows at 50%
@@ -91,6 +93,20 @@ struct Extractor {
     const int32_t* brick_row = nullptr;   // [nbx*nby*nbz] -> row or -1
     int64_t nbx = 0, nby = 0, nbz = 0;
     float qscale = 0.f;                   // dequant: q / qscale + level
+    // brick-mode edge welding: every grid edge is canonically owned by the
+    // brick containing its origin voxel (dir * 64 + local voxel id -> 192
+    // slots per brick). Direct indexing replaces the open-addressing hash
+    // (~1M probes/batch over a >L2-sized table was the dominant MC cost);
+    // lookups from adjacent cubes hit the same cache-hot brick row.
+    std::vector<int32_t> brick_edges;     // [n_bricks * 192], -1 = empty
+    // crossing-edge ranking (brick mode, want_ranks): per-brick 192-bit
+    // crossing bitmaps + exclusive prefix counts reproduce the DEVICE's
+    // canonical crossing-edge enumeration (ops/isosurface
+    // extract_crossing_edges), so every vertex can be tagged with the index
+    // of its edge in the device's on-device warp-query output.
+    bool want_ranks = false;
+    std::vector<uint64_t> cross_bits;     // [n_bricks * 3] (64 bits/dir)
+    std::vector<int64_t> cross_prefix;    // [n_bricks] exclusive
 
     Extractor(const float* v, int64_t nx_, int64_t ny_, int64_t nz_,
               float level_, float sx_, float sy_, float sz_, bool ascent_,
@@ -139,8 +155,35 @@ struct Extractor {
             int64_t t = ga; ga = gb; gb = t;
             float tv = va; va = vb; vb = tv;
         }
-        uint64_t key = ((uint64_t)ga << 32) | (uint64_t)gb;
-        int32_t* v = edge_map.slot(key);
+        int32_t* v;
+        int64_t d = gb - ga;
+        int32_t rank = -1;
+        if (!brick_edges.empty()
+                && (d == 1 || d == nz || d == ny * nz)) {
+            // canonical owner slot: axis-aligned edge with origin ga (the
+            // smaller id), so (owner brick, local voxel, direction) indexes
+            // the dense per-brick table. Non-axis edges (tetrahedra-mode
+            // diagonals) fall through to the hash.
+            int dir = (d == 1) ? 2 : (d == nz ? 1 : 0);
+            int64_t z = ga % nz, y = (ga / nz) % ny, x = ga / (nz * ny);
+            int64_t row = brick_row[((x >> 2) * nby + (y >> 2)) * nbz
+                                    + (z >> 2)];
+            int loc = ((int)(x & 3) << 4) | ((int)(y & 3) << 2)
+                      | (int)(z & 3);
+            v = &brick_edges[row * 192 + dir * 64 + loc];
+            if (*v < 0 && want_ranks) {
+                uint64_t bits = cross_bits[row * 3 + dir];
+                uint64_t below = (loc == 0) ? 0 : (bits << (64 - loc));
+                int64_t r = cross_prefix[row];
+                for (int dd = 0; dd < dir; ++dd)
+                    r += __builtin_popcountll(cross_bits[row * 3 + dd]);
+                r += __builtin_popcountll(below);
+                rank = (int32_t)r;
+            }
+        } else {
+            uint64_t key = ((uint64_t)ga << 32) | (uint64_t)gb;
+            v = edge_map.slot(key);
+        }
         if (*v >= 0) return *v;
         float t = (vb != va) ? (level - va) / (vb - va) : 0.5f;
         if (t < 0.f) t = 0.f;
@@ -155,6 +198,7 @@ struct Extractor {
         mesh.verts.push_back(px);
         mesh.verts.push_back(py);
         mesh.verts.push_back(pz);
+        if (want_ranks) mesh.ranks.push_back(rank);
         *v = idx;
         return idx;
     }
@@ -416,6 +460,47 @@ struct Extractor {
         }
     }
 
+    // crossing bitmaps + prefix: reproduces the device's canonical
+    // crossing-edge enumeration (brick list order, slot = dir*64 + local
+    // origin). Sides are tested on the RAW int8 (q >= 1 <=> v > level,
+    // side-preserving quantization), matching the device's float test.
+    void build_cross_ranks(const int32_t* brick_idx, int64_t n_bricks) {
+        cross_bits.assign((size_t)n_bricks * 3, 0);
+        cross_prefix.assign((size_t)n_bricks, 0);
+        static const int DX[3] = {1, 0, 0};
+        static const int DY[3] = {0, 1, 0};
+        static const int DZ[3] = {0, 0, 1};
+        int64_t total = 0;
+        for (int64_t i = 0; i < n_bricks; ++i) {
+            cross_prefix[i] = total;
+            int64_t b = (int64_t)brick_idx[i];
+            if (b < 0) continue;
+            int64_t bzi = b % nbz, byi = (b / nbz) % nby,
+                    bxi = b / (nbz * nby);
+            for (int dir = 0; dir < 3; ++dir) {
+                uint64_t bits = 0;
+                for (int loc = 0; loc < 64; ++loc) {
+                    int64_t gx = bxi * 4 + (loc >> 4);
+                    int64_t gy = byi * 4 + ((loc >> 2) & 3);
+                    int64_t gz = bzi * 4 + (loc & 3);
+                    int64_t ex = gx + DX[dir], ey = gy + DY[dir],
+                            ez = gz + DZ[dir];
+                    if (ex > nx - 1 || ey > ny - 1 || ez > nz - 1) continue;
+                    int64_t row2 = brick_row[
+                        ((ex >> 2) * nby + (ey >> 2)) * nbz + (ez >> 2)];
+                    if (row2 < 0) continue;
+                    bool sa = bricks[i * 64 + loc] >= 1;
+                    bool sb = bricks[row2 * 64
+                        + (((ex & 3) << 4) | ((ey & 3) << 2)
+                           | (ez & 3))] >= 1;
+                    if (sa != sb) bits |= (1ULL << loc);
+                }
+                cross_bits[i * 3 + dir] = bits;
+                total += __builtin_popcountll(bits);
+            }
+        }
+    }
+
     // brick mode: discovers the straddling cubes itself. For every local
     // voxel of every shipped brick that is a valid cube origin, gathers the
     // 8 corners from (up to 8) bricks; a cube with a missing corner brick
@@ -578,23 +663,34 @@ int extract_isosurface_active(
 // values per brick (local C-order); dequantization is q / qscale + level.
 // Discovers the straddling cubes internally (run_bricks), replacing the
 // former host-python block expansion step.
+// ranks_out (optional, may be NULL): per-vertex canonical crossing-edge
+// rank — the index of the vertex's edge in the device's crossing-edge
+// enumeration (ops/isosurface.extract_crossing_edges), used to look up
+// on-device warp-query results without shipping vertices back to the
+// device. -1 for vertices not on an axis edge (tetrahedra diagonals).
 int extract_isosurface_bricks(
         const int32_t* brick_idx, const int8_t* brick_vals, int64_t n_bricks,
         int64_t nx, int64_t ny, int64_t nz,
         float level, float qscale, float sx, float sy, float sz,
         int ascent, int method,
         float** verts_out, int64_t* nv_out,
-        int32_t** faces_out, int64_t* nf_out) {
+        int32_t** faces_out, int64_t* nf_out,
+        int32_t** ranks_out) {
     Extractor ex(nullptr, nx, ny, nz, level, sx, sy, sz, ascent != 0,
                  (size_t)n_bricks * 8);
     ex.method = method;
     ex.bricks = brick_vals;
     ex.qscale = qscale;
     ex.nbx = nx / 4; ex.nby = ny / 4; ex.nbz = nz / 4;
+    ex.brick_edges.assign((size_t)n_bricks * 192, -1);
     std::vector<int32_t> row(ex.nbx * ex.nby * ex.nbz, -1);
     for (int64_t i = 0; i < n_bricks; ++i)
         if (brick_idx[i] >= 0) row[brick_idx[i]] = (int32_t)i;
     ex.brick_row = row.data();
+    if (ranks_out) {
+        ex.want_ranks = true;
+        ex.build_cross_ranks(brick_idx, n_bricks);
+    }
     ex.run_bricks(brick_idx, n_bricks);
     int64_t nv = (int64_t)(ex.mesh.verts.size() / 3);
     int64_t nf = (int64_t)(ex.mesh.faces.size() / 3);
@@ -604,6 +700,11 @@ int extract_isosurface_bricks(
     *faces_out = (int32_t*)malloc(sizeof(int32_t) * 3 * (nf ? nf : 1));
     if (nv) memcpy(*verts_out, ex.mesh.verts.data(), sizeof(float) * 3 * nv);
     if (nf) memcpy(*faces_out, ex.mesh.faces.data(), sizeof(int32_t) * 3 * nf);
+    if (ranks_out) {
+        *ranks_out = (int32_t*)malloc(sizeof(int32_t) * (nv ? nv : 1));
+        if (nv) memcpy(*ranks_out, ex.mesh.ranks.data(),
+                       sizeof(int32_t) * nv);
+    }
     return 0;
 }
 

@@ -266,6 +266,150 @@ def bricks_to_cube_list(brick_idx, brick_vals_q, level: float,
     return base[active], cube_vals[active]
 
 
+# ---------------------------------------------------------------------------
+# Crossing-edge enumeration: the marching-cubes VERTICES are exactly the
+# grid edges whose endpoints straddle the iso level, and the device already
+# knows them — so the surface-decoder (warp-field) query can run on device
+# inside the encode program, keyed by a canonical edge order both sides can
+# reproduce, instead of round-tripping host MC vertices through the slow
+# link. Canonical order: (shipped-brick rank, slot) with slot =
+# dir * 64 + local voxel id of the edge ORIGIN (the smaller endpoint); every
+# edge is owned by exactly one brick (the one containing its origin), and
+# every crossing edge's owner brick is shipped (its containing cube's origin
+# block is support-active). The host (C++ kernel / numpy mirror) recomputes
+# the same order from the dequantized bricks — side-preserving quantization
+# makes the crossing set identical — and indexes the device's results by
+# rank.
+# ---------------------------------------------------------------------------
+
+EDGE_SLOTS = 192   # 3 directions x 64 local origins per brick
+
+
+@functools.partial(jax.jit, static_argnames=("level", "edge_cap"))
+def extract_crossing_edges(wnf: jax.Array, level: float,
+                           brick_idx: jax.Array, edge_cap: int):
+    """Enumerates crossing grid edges of the shipped bricks in canonical
+    (brick rank, slot) order.
+
+    wnf: [B, S, S, S]; brick_idx: [B, brick_cap] from extract_active_bricks
+    (-1 pad). Returns (edge_counts [B] i32, vert_pos [B, edge_cap, 3] f32 —
+    the iso-crossing point of each edge in NORMALIZED [0,1] lattice
+    coordinates (grid_index / (S-1)), zero-padded). counts may exceed
+    edge_cap (caller falls back to a host-vertex warp query)."""
+    B, S = wnf.shape[0], wnf.shape[1]
+    nb = S // BLOCK
+    cap = brick_idx.shape[1]
+    inside = wnf > level
+
+    def shifted_xor(axis):
+        # crossing flag of the edge originating at each voxel along `axis`;
+        # the last slice has no outgoing edge (origin must be <= S-2)
+        a = inside
+        b = jnp.roll(inside, -1, axis=axis + 1)
+        x = jnp.logical_xor(a, b)
+        idx = [slice(None)] * 4
+        idx[axis + 1] = S - 1
+        return x.at[tuple(idx)].set(False)
+
+    # brick-major layout of the 3 crossing-flag volumes -> [B, nb^3, 192]
+    flags = []
+    for axis in range(3):
+        f = shifted_xor(axis)
+        f = f.reshape(B, nb, BLOCK, nb, BLOCK, nb, BLOCK)
+        f = f.transpose(0, 1, 3, 5, 2, 4, 6).reshape(B, nb ** 3, 64)
+        flags.append(f)
+    cross = jnp.concatenate(flags, axis=-1)          # [B, nb^3, 192]
+
+    valid_brick = brick_idx >= 0
+    rows = jnp.take_along_axis(
+        cross, jnp.maximum(brick_idx, 0)[..., None], axis=1)  # [B,cap,192]
+    rows = jnp.logical_and(rows, valid_brick[..., None])
+
+    # compaction: flat searchsorted over the cumsative crossing count in
+    # (brick rank, slot) order — the rank of each crossing edge IS its
+    # output index (the canonical order the host reproduces)
+    flat = rows.reshape(B, cap * EDGE_SLOTS)
+    csum = jnp.cumsum(flat.astype(jnp.int32), axis=1)         # inclusive
+    counts = csum[:, -1]
+    targets = jnp.arange(1, edge_cap + 1, dtype=jnp.int32)    # rank j+1
+    pos = jax.vmap(lambda row: jnp.searchsorted(row, targets))(csum)
+    pos = jnp.minimum(pos, cap * EDGE_SLOTS - 1).astype(jnp.int32)
+    br = pos // EDGE_SLOTS
+    slot = pos % EDGE_SLOTS
+
+    picked_brick = jnp.take_along_axis(
+        jnp.maximum(brick_idx, 0), br, axis=1)                # block idx
+    d = slot // 64
+    loc = slot % 64
+    bx = (picked_brick // (nb * nb)) * BLOCK + (loc >> 4)
+    by = ((picked_brick // nb) % nb) * BLOCK + ((loc >> 2) & 3)
+    bz = (picked_brick % nb) * BLOCK + (loc & 3)
+    o_flat = (bx * S + by) * S + bz
+    step = jnp.where(d == 0, S * S, jnp.where(d == 1, S, 1))
+    wnf_flat = wnf.reshape(B, -1)
+    va = jnp.take_along_axis(wnf_flat, o_flat, axis=1)
+    vb = jnp.take_along_axis(wnf_flat, o_flat + step, axis=1)
+    denom = jnp.where(vb != va, vb - va, 1.0)
+    t = jnp.clip((level - va) / denom, 0.0, 1.0)
+    base = jnp.stack([bx, by, bz], axis=-1).astype(jnp.float32)
+    offs = jnp.stack([(d == 0).astype(jnp.float32),
+                      (d == 1).astype(jnp.float32),
+                      (d == 2).astype(jnp.float32)], axis=-1)
+    vert = (base + t[..., None] * offs) / (S - 1)
+    valid = targets[None, :] <= counts[:, None]
+    vert = jnp.where(valid[..., None], vert, 0.0)
+    return counts, vert
+
+
+def crossing_edge_mask_np(brick_idx, brick_vals_q, level: float,
+                          volume_size: int):
+    """Numpy mirror of the canonical crossing-edge enumeration for ONE
+    garment: returns a [n_bricks, 192] bool mask in (brick rank, slot)
+    order — the rank of a True entry (in C-order flatten) is the device's
+    edge index. Used by the no-g++ fallback and as the test oracle of the
+    C++ kernel's rank computation."""
+    import numpy as np
+    S = volume_size
+    nb = S // BLOCK
+    brick_idx = np.asarray(brick_idx)
+    keep = brick_idx >= 0
+    bidx = brick_idx[keep].astype(np.int64)
+    vals = np.asarray(brick_vals_q)[keep]
+    n = len(bidx)
+    mask = np.zeros((len(brick_idx), EDGE_SLOTS), bool)
+    if n == 0:
+        return mask
+    row_of = np.full(nb ** 3, -1, np.int64)
+    row_of[bidx] = np.arange(n)
+    inside = vals >= 1                      # side-preserving: q>=1 <=> v>level
+    bz = bidx % nb
+    by = (bidx // nb) % nb
+    bx = bidx // (nb * nb)
+    loc = np.arange(BLOCK)
+    lx, ly, lz = np.meshgrid(loc, loc, loc, indexing="ij")
+    lx, ly, lz = (a.reshape(-1) for a in (lx, ly, lz))
+    gx = bx[:, None] * BLOCK + lx[None, :]
+    gy = by[:, None] * BLOCK + ly[None, :]
+    gz = bz[:, None] * BLOCK + lz[None, :]
+    for d, (dx, dy, dz) in enumerate(((1, 0, 0), (0, 1, 0), (0, 0, 1))):
+        ex, ey, ez = gx + dx, gy + dy, gz + dz
+        ok = (ex <= S - 1) & (ey <= S - 1) & (ez <= S - 1)
+        nbrick = row_of[np.clip(((ex // BLOCK) * nb + (ey // BLOCK)) * nb
+                                + (ez // BLOCK), 0, nb ** 3 - 1)]
+        ok &= nbrick >= 0
+        # endpoint side; a crossing edge's endpoint brick is always shipped
+        # (it is a corner brick of the edge's crossing cube), so ok=False
+        # rows can only be non-crossing — same set as the device's XOR
+        other = np.zeros_like(inside, dtype=bool)
+        li = ((ex % BLOCK) * BLOCK + (ey % BLOCK)) * BLOCK + (ez % BLOCK)
+        other[ok] = inside[nbrick[ok], li[ok]]
+        # local origins are enumerated in C-order, so `inside` columns are
+        # already in slot order
+        crossing = ok & (inside != other)
+        mask[np.flatnonzero(keep), d * 64:(d + 1) * 64] = crossing
+    return mask
+
+
 def pack_brick_pages(base, vals_q, page: int):
     """Packs (brick_idx [B,cap] i32, vals [B,cap,64] i8) into fixed-size
     transfer pages: a tuple of [B, page, 68]-uint8 buffers (4 little-endian

@@ -73,7 +73,7 @@ def _load_lib():
             ctypes.c_float, ctypes.c_float,
             ctypes.c_float, ctypes.c_float, ctypes.c_float,
             ctypes.c_int, ctypes.c_int,
-        ] + out_args
+        ] + out_args + [ctypes.POINTER(ctypes.POINTER(ctypes.c_int32))]
         lib.mt_free.argtypes = [ctypes.c_void_p]
         _LIB = lib
     except Exception:
@@ -158,7 +158,8 @@ def marching_cubes_active(cube_idx: np.ndarray, corner_vals: np.ndarray,
 def marching_cubes_bricks(brick_idx: np.ndarray, brick_vals_q: np.ndarray,
                           dims, level: float, spacing,
                           gradient_direction: str = "ascent",
-                          method: str = "cubes"):
+                          method: str = "cubes",
+                          return_ranks: bool = False):
     """Isosurface from device-extracted int8 bricks (the predict engine's
     production wire format — ops/isosurface.extract_active_bricks).
 
@@ -166,36 +167,111 @@ def marching_cubes_bricks(brick_idx: np.ndarray, brick_vals_q: np.ndarray,
     brick_vals_q: [K, 64] side-preserving quantized voxel values in local
     C-order. The C++ kernel discovers the straddling cubes directly from the
     bricks (no host-python expansion step); the pure-Python fallback routes
-    through bricks_to_cube_list. Returns (verts, faces); raises ValueError
-    when no surface is produced (NaN-sentinel protocol parity)."""
+    through bricks_to_cube_list. Returns (verts, faces) — or
+    (verts, faces, ranks) with return_ranks, where ranks[i] is vertex i's
+    index in the device's canonical crossing-edge enumeration
+    (ops/isosurface.extract_crossing_edges) for looking up on-device
+    warp-query results. Raises ValueError when no surface is produced
+    (NaN-sentinel protocol parity)."""
     from garmentnets_tpu.ops.isosurface import (
         VAL_QUANT_SCALE, bricks_to_cube_list)
     brick_idx = np.ascontiguousarray(brick_idx, np.int32)
     brick_vals_q = np.ascontiguousarray(brick_vals_q, np.int8)
     nx, ny, nz = dims
     ascent = gradient_direction == "ascent"
+    ranks = None
     if _load_lib() is not None:
         lib = _load_lib()
-        verts, faces = _collect_mesh(lib.extract_isosurface_bricks, (
+        verts_p = ctypes.POINTER(ctypes.c_float)()
+        faces_p = ctypes.POINTER(ctypes.c_int32)()
+        ranks_p = ctypes.POINTER(ctypes.c_int32)()
+        nv = ctypes.c_int64()
+        nf = ctypes.c_int64()
+        lib.extract_isosurface_bricks(
             brick_idx.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
             brick_vals_q.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
             len(brick_idx), nx, ny, nz, ctypes.c_float(level),
             ctypes.c_float(VAL_QUANT_SCALE),
             ctypes.c_float(spacing[0]), ctypes.c_float(spacing[1]),
             ctypes.c_float(spacing[2]), 1 if ascent else 0,
-            _METHOD_CODE[method]))
+            _METHOD_CODE[method],
+            ctypes.byref(verts_p), ctypes.byref(nv),
+            ctypes.byref(faces_p), ctypes.byref(nf),
+            ctypes.byref(ranks_p) if return_ranks else None)
+        try:
+            verts = np.ctypeslib.as_array(
+                verts_p, shape=(max(nv.value, 1), 3)).copy()[: nv.value]
+            faces = np.ctypeslib.as_array(
+                faces_p, shape=(max(nf.value, 1), 3)).copy()[: nf.value]
+            if return_ranks:
+                ranks = np.ctypeslib.as_array(
+                    ranks_p, shape=(max(nv.value, 1),)).copy()[: nv.value]
+        finally:
+            lib.mt_free(verts_p)
+            lib.mt_free(faces_p)
+            if return_ranks:
+                lib.mt_free(ranks_p)
+        verts = verts.astype(np.float32)
+        faces = faces.astype(np.int64)
     else:
         cube_base, cube_vals = bricks_to_cube_list(
             brick_idx, brick_vals_q, level, nx)
         if method == "cubes":
-            verts, faces = _mc_python_cubes_active(
-                cube_base, cube_vals, dims, level, spacing, ascent)
+            verts, faces, edge_keys = _mc_python_cubes_active(
+                cube_base, cube_vals, dims, level, spacing, ascent,
+                return_edges=True)
         else:
             verts, faces = _mc_numpy_active(
                 cube_base, cube_vals, dims, level, spacing, ascent)
+            edge_keys = None
+        if return_ranks:
+            ranks = _ranks_from_edge_keys(
+                edge_keys, brick_idx, brick_vals_q, level, dims)
     if len(verts) == 0 or len(faces) == 0:
         raise ValueError("no surface found at given iso level")
+    if return_ranks:
+        return verts, faces, ranks
     return verts, faces
+
+
+def _ranks_from_edge_keys(edge_keys, brick_idx, brick_vals_q, level, dims):
+    """Python-fallback rank computation: maps each vertex's (ga, gb) grid
+    edge to its index in the device's canonical crossing-edge enumeration
+    (mirrored by isosurface.crossing_edge_mask_np)."""
+    from garmentnets_tpu.ops.isosurface import (
+        crossing_edge_mask_np, BLOCK, EDGE_SLOTS)
+    nx, ny, nz = dims
+    if edge_keys is None:
+        raise NotImplementedError(
+            "vertex ranks require the 'cubes' method")
+    mask = crossing_edge_mask_np(brick_idx, brick_vals_q, level, nx)
+    flat_true = np.flatnonzero(mask.reshape(-1))
+    nb = nx // BLOCK
+    row_of = np.full(nb ** 3, -1, np.int64)
+    keep = np.asarray(brick_idx) >= 0
+    row_of[np.asarray(brick_idx)[keep].astype(np.int64)] = \
+        np.flatnonzero(keep)
+    ranks = np.full(len(edge_keys), -1, np.int32)
+    for i, (ga, gb) in enumerate(edge_keys):
+        d = gb - ga
+        if d == 1:
+            dr = 2
+        elif d == nz:
+            dr = 1
+        elif d == ny * nz:
+            dr = 0
+        else:
+            continue
+        z = ga % nz
+        y = (ga // nz) % ny
+        x = ga // (nz * ny)
+        row = row_of[((x // BLOCK) * nb + (y // BLOCK)) * nb + (z // BLOCK)]
+        slot = dr * 64 + (((x % 4) << 4) | ((y % 4) << 2) | (z % 4))
+        flat = row * EDGE_SLOTS + slot
+        j = np.searchsorted(flat_true, flat)
+        if j < len(flat_true) and flat_true[j] == flat:
+            ranks[i] = j
+    return ranks
 
 
 def _mc_numpy_active(cube_idx, corner_vals, dims, level, spacing, ascent):
@@ -297,13 +373,17 @@ def _chain_loops(segs):
 
 
 def _mc_python_cubes_active(cube_idx, corner_vals, dims, level, spacing,
-                            ascent):
-    """Python mirror of the C++ 'cubes' method over an active-cube list."""
+                            ascent, return_edges: bool = False):
+    """Python mirror of the C++ 'cubes' method over an active-cube list.
+
+    return_edges additionally returns the (ga, gb) grid-vertex pair of each
+    mesh vertex's edge (for crossing-edge rank computation)."""
     nx, ny, nz = dims
     sp = np.asarray(spacing, np.float32)
     edge_map = {}
     verts = []
     faces = []
+    edge_keys = []
 
     def coords(g):
         return np.asarray([g // (nz * ny), (g // nz) % ny, g % nz],
@@ -325,6 +405,7 @@ def _mc_python_cubes_active(cube_idx, corner_vals, dims, level, spacing,
         p = (ca + np.float32(t) * (cb - ca)) * sp
         edge_map[key] = len(verts)
         verts.append(p)
+        edge_keys.append(key)
         return edge_map[key]
 
     corner_off = (CUBE_CORNERS[:, 0] * ny + CUBE_CORNERS[:, 1]) * nz \
@@ -358,9 +439,11 @@ def _mc_python_cubes_active(cube_idx, corner_vals, dims, level, spacing,
                 faces.append((a, b, c))
 
     if not verts:
-        return np.zeros((0, 3), np.float32), np.zeros((0, 3), np.int64)
-    return (np.asarray(verts, np.float32),
-            np.asarray(faces, np.int64).reshape(-1, 3))
+        out = (np.zeros((0, 3), np.float32), np.zeros((0, 3), np.int64))
+        return out + ([],) if return_edges else out
+    out = (np.asarray(verts, np.float32),
+           np.asarray(faces, np.int64).reshape(-1, 3))
+    return out + (edge_keys,) if return_edges else out
 
 
 def _mc_python_cubes(vol, level, spacing, ascent):

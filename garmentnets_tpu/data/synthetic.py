@@ -166,21 +166,25 @@ def generate_dataset(path, num_instances: int = 3, grips_per_instance: int = 2,
                 "grip_vertex_idx": grip_idx,
             })
             pc = g.require_group("point_cloud")
-            pc.array("point", p)
-            pc.array("nocs", n)
-            pc.array("rgb", c)
+            pc.array("point", p, compressor="blosc")
+            pc.array("nocs", n, compressor="blosc")
+            pc.array("rgb", c, compressor="blosc")
             pc.array("sizes", sizes)
             mesh = g.require_group("mesh")
-            mesh.array("cloth_verts", sim_verts)
-            mesh.array("cloth_nocs_verts", nocs_verts)
-            mesh.array("cloth_faces_tri", faces.astype(np.int32))
+            mesh.array("cloth_verts", sim_verts, compressor="blosc")
+            mesh.array("cloth_nocs_verts", nocs_verts, compressor="blosc")
+            mesh.array("cloth_faces_tri", faces.astype(np.int32), compressor="blosc")
             mcg = g.require_group("marching_cube_mesh")
-            mcg.array("marching_cube_verts", mc_verts)
+            mcg.array("marching_cube_verts", mc_verts, compressor="blosc")
             mcg.array("marching_cube_faces", mc_faces.astype(np.int32))
             mcg.array("is_vertex_on_surface", on_surf)
             vol = g.require_group("volume")
             wnf_g = vol.require_group("nocs_winding_number_field")
-            wnf_g.array(str(volume_size), wnf.astype(np.float32))
+            # Blosc-zstd like the real CLOTH3D zarrs (and ~7x faster
+            # to decode than zlib — the GT-volume read dominates
+            # stage-2 __getitem__ time, tools/bench_input.py)
+            wnf_g.array(str(volume_size), wnf.astype(np.float32),
+                        compressor="blosc")
             sim_records.append((g, sim_verts, faces))
 
             aabbs.append(geometry.get_aabb(sim_verts))
@@ -211,5 +215,6 @@ def generate_dataset(path, num_instances: int = 3, grips_per_instance: int = 2,
             q, normalizer(sim_verts).astype(np.float32), faces).reshape(
                 (volume_size,) * 3)
         sg = g["volume"].require_group("sim_nocs_winding_number_field")
-        sg.array(str(volume_size), sim_wnf.astype(np.float32))
+        sg.array(str(volume_size), sim_wnf.astype(np.float32),
+                 compressor="blosc")
     return root

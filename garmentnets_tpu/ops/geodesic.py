@@ -78,55 +78,77 @@ class MeshHeatMethodDistanceSolver:
             np.cross(self.face_normal, e[k]) / (2 * self.face_area[:, None])
             for k in range(3)]
 
-    def compute_distance(self, source_idx: int) -> np.ndarray:
-        nv = len(self.verts)
-        delta = np.zeros(nv)
-        delta[source_idx] = 1.0
-        u = self._heat_solve(delta)
-
-        # normalized negative gradient per face
-        grad = np.zeros((len(self.faces), 3))
+        # source-independent divergence geometry, precomputed once: for
+        # each face corner i the adjacent edges e_ij, e_il and the
+        # cotangents of the opposite angles
+        self._div_geom = []
         for k in range(3):
-            grad += u[self.faces[:, k], None] * self._grad_vec[k]
-        norm = np.linalg.norm(grad, axis=1, keepdims=True)
-        X = -grad / np.maximum(norm, 1e-12)
+            i = faces[:, k]
+            j = faces[:, (k + 1) % 3]
+            l = faces[:, (k + 2) % 3]
+            e_ij = verts[j] - verts[i]
+            e_il = verts[l] - verts[i]
 
-        # integrated divergence at vertices: for each face corner i with
-        # adjacent edges e_ij, e_il and opposite cotangents
-        div = np.zeros(nv)
-        for k in range(3):
-            i = self.faces[:, k]
-            j = self.faces[:, (k + 1) % 3]
-            l = self.faces[:, (k + 2) % 3]
-            e_ij = self.verts[j] - self.verts[i]
-            e_il = self.verts[l] - self.verts[i]
-            # cot of angle opposite to edge e_ij is at corner l, etc.
             def cot_at(a_idx, b_idx, c_idx):
-                a = self.verts[b_idx] - self.verts[a_idx]
-                b = self.verts[c_idx] - self.verts[a_idx]
+                a = verts[b_idx] - verts[a_idx]
+                b = verts[c_idx] - verts[a_idx]
                 cos_ = np.einsum("ij,ij->i", a, b)
                 sin_ = np.linalg.norm(np.cross(a, b), axis=1)
                 return cos_ / np.maximum(sin_, 1e-12)
+
             cot_l = cot_at(l, i, j)   # angle at l, opposite edge ij
             cot_j = cot_at(j, i, l)   # angle at j, opposite edge il
-            contrib = 0.5 * (cot_l * np.einsum("ij,ij->i", e_ij, X)
-                             + cot_j * np.einsum("ij,ij->i", e_il, X))
-            np.add.at(div, i, contrib)
+            self._div_geom.append((i, e_ij, e_il, cot_l, cot_j))
 
-        phi = self._pois_solve(div)
-        phi = phi - phi[source_idx]
-        if np.mean(phi) < 0:  # sign of the Poisson solution is arbitrary
-            phi = -phi
-        return np.maximum(phi, 0.0)
+    def compute_distance_multi(self, source_idxs) -> np.ndarray:
+        """Geodesic distance fields from several sources at once: one
+        multi-RHS triangular solve per system (BLAS-3) instead of a python
+        loop of single solves, with the gradient/divergence stages
+        broadcast over the source axis. Returns [n_sources, n_verts]."""
+        source_idxs = np.asarray(source_idxs, np.int64)
+        nv = len(self.verts)
+        ns = len(source_idxs)
+        delta = np.zeros((nv, ns))
+        delta[source_idxs, np.arange(ns)] = 1.0
+        u = self._heat_solve(delta)                        # [nv, ns]
+
+        # normalized negative gradient per face (per source)
+        grad = np.zeros((ns, len(self.faces), 3))
+        for k in range(3):
+            grad += (u[self.faces[:, k]].T[:, :, None]
+                     * self._grad_vec[k][None])
+        norm = np.linalg.norm(grad, axis=2, keepdims=True)
+        X = -grad / np.maximum(norm, 1e-12)                # [ns, F, 3]
+
+        # integrated divergence at vertices
+        div = np.zeros((ns, nv))
+        for (i, e_ij, e_il, cot_l, cot_j) in self._div_geom:
+            contrib = 0.5 * (cot_l * np.einsum("fj,sfj->sf", e_ij, X)
+                             + cot_j * np.einsum("fj,sfj->sf", e_il, X))
+            np.add.at(div, (slice(None), i), contrib)
+
+        phi = self._pois_solve(div.T)                      # [nv, ns]
+        phi = phi - phi[source_idxs, np.arange(ns)]
+        # sign of the Poisson solution is arbitrary
+        flip = phi.mean(axis=0) < 0
+        phi[:, flip] = -phi[:, flip]
+        return np.maximum(phi, 0.0).T
+
+    def compute_distance(self, source_idx: int) -> np.ndarray:
+        return self.compute_distance_multi([int(source_idx)])[0]
 
 
-def geodesic_matrix(verts, faces, vert_idxs) -> np.ndarray:
+def geodesic_matrix(verts, faces, vert_idxs, chunk: int = 64) -> np.ndarray:
     """Pairwise geodesic distances between selected vertices
-    (reference common/potpourri3d_util.py:5-15)."""
+    (reference common/potpourri3d_util.py:5-15). Sources are solved in
+    chunks through the multi-RHS path (chunking bounds the [n, F, 3]
+    gradient intermediates)."""
     solver = MeshHeatMethodDistanceSolver(verts, faces)
+    vert_idxs = np.asarray(vert_idxs, np.int64)
     n = len(vert_idxs)
     out = np.zeros((n, n))
-    for i, vi in enumerate(vert_idxs):
-        all_d = solver.compute_distance(int(vi))
-        out[i] = all_d[vert_idxs]
+    for s in range(0, n, chunk):
+        sel = vert_idxs[s:s + chunk]
+        all_d = solver.compute_distance_multi(sel)
+        out[s:s + chunk] = all_d[:, vert_idxs]
     return out

@@ -248,13 +248,24 @@ def mesh_hausdorff(va: np.ndarray, fa: np.ndarray,
 # dataset ships WNF volumes precomputed offline)
 # ---------------------------------------------------------------------------
 def winding_number(query_points: np.ndarray, verts: np.ndarray,
-                   faces: np.ndarray, chunk: int = 2048) -> np.ndarray:
+                   faces: np.ndarray, chunk: int = 2048,
+                   backend: str = "auto") -> np.ndarray:
     """Generalized winding number of query points w.r.t. a triangle soup.
 
     Solid-angle formula (van Oosterom & Strackee); for an open cloth mesh the
     field is fractional in the interior neighborhood — exactly the WNF the
     reference trains on (README.md:25).
+
+    backend: 'numpy', 'jax', or 'auto' (jax when the query x face product is
+    large — a dense 128^3 x ~3k-face field is ~180 GFLOP, minutes in numpy
+    on one host core vs ~a second on an accelerator; f32 vs the numpy f64
+    path agrees to ~1e-5, far below training-GT resolution).
     """
+    if backend == "auto":
+        backend = ("jax" if len(query_points) * len(faces) > 10 ** 8
+                   else "numpy")
+    if backend == "jax":
+        return _winding_number_jax(query_points, verts, faces)
     out = np.zeros(len(query_points), dtype=np.float64)
     a0 = verts[faces[:, 0]]
     b0 = verts[faces[:, 1]]
@@ -274,3 +285,43 @@ def winding_number(query_points: np.ndarray, verts: np.ndarray,
         omega = 2.0 * np.arctan2(num, den)
         out[s:s + chunk] = omega.sum(axis=1) / (4.0 * np.pi)
     return out.astype(np.float32)
+
+
+def _winding_number_jax(query_points, verts, faces,
+                        chunk: int = 65536) -> np.ndarray:
+    """Device path for winding_number: the solid-angle sum is an
+    einsum-shaped reduction, ideal accelerator work. Queries stream in
+    fixed-size chunks (one compile per mesh); HIGHEST precision keeps the
+    f32 einsums effectively exact."""
+    import jax
+    import jax.numpy as jnp
+    tri = np.asarray(verts, np.float32)[np.asarray(faces)]
+    a0 = jnp.asarray(tri[:, 0])
+    b0 = jnp.asarray(tri[:, 1])
+    c0 = jnp.asarray(tri[:, 2])
+    hi = jax.lax.Precision.HIGHEST
+
+    @jax.jit
+    def solid(q):                                       # [C, 3]
+        a = a0[None] - q[:, None]
+        b = b0[None] - q[:, None]
+        c = c0[None] - q[:, None]
+        la = jnp.linalg.norm(a, axis=-1)
+        lb = jnp.linalg.norm(b, axis=-1)
+        lc = jnp.linalg.norm(c, axis=-1)
+        num = jnp.einsum("qfi,qfi->qf", a, jnp.cross(b, c), precision=hi)
+        den = (la * lb * lc
+               + jnp.einsum("qfi,qfi->qf", a, b, precision=hi) * lc
+               + jnp.einsum("qfi,qfi->qf", b, c, precision=hi) * la
+               + jnp.einsum("qfi,qfi->qf", c, a, precision=hi) * lb)
+        omega = 2.0 * jnp.arctan2(num, den)
+        return jnp.sum(omega, axis=1) / (4.0 * np.pi)
+
+    n = len(query_points)
+    q = np.asarray(query_points, np.float32)
+    pad = (-n) % chunk
+    if pad:
+        q = np.concatenate([q, np.zeros((pad, 3), np.float32)])
+    outs = [np.asarray(solid(jnp.asarray(q[s:s + chunk])))
+            for s in range(0, len(q), chunk)]
+    return np.concatenate(outs)[:n].astype(np.float32)

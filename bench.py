@@ -151,32 +151,42 @@ def main():
     # queued encodes, FIFO order). All device->host copies are issued
     # asynchronously at dispatch time.
     import collections
-    t_start = time.time()
-    done = 0
-    encs = collections.deque()
-    warp_handles = collections.deque()
 
-    def pump(e):
-        meshes = engine.extract_meshes(e)
-        while len(warp_handles) >= 2:
-            engine.warp_collect(warp_handles.popleft())
-        warp_handles.append(engine.warp_dispatch(e, meshes))
-        return len(meshes)
+    def timed_run():
+        t_start = time.time()
+        done = 0
+        encs = collections.deque()
+        warp_handles = collections.deque()
 
-    for i in range(N_BATCHES):
-        enc = dict(engine.encode(batch["x"], batch["pos"]), **sub)
-        engine.prefetch(enc)
-        encs.append(enc)
-        if len(encs) > 2:
+        def pump(e):
+            meshes = engine.extract_meshes(e)
+            while len(warp_handles) >= 2:
+                engine.warp_collect(warp_handles.popleft())
+            warp_handles.append(engine.warp_dispatch(e, meshes))
+            return len(meshes)
+
+        for i in range(N_BATCHES):
+            enc = dict(engine.encode(batch["x"], batch["pos"]), **sub)
+            engine.prefetch(enc)
+            encs.append(enc)
+            if len(encs) > 2:
+                done += pump(encs.popleft())
+        while encs:
             done += pump(encs.popleft())
-    while encs:
-        done += pump(encs.popleft())
-    while warp_handles:
-        engine.warp_collect(warp_handles.popleft())
-    elapsed = time.time() - t_start
-    gps = done / elapsed
+        while warp_handles:
+            engine.warp_collect(warp_handles.popleft())
+        return done, time.time() - t_start
 
-    print(f"{done} garments in {elapsed:.2f}s", file=sys.stderr)
+    # the device tunnel on this host has ~±10% run-to-run variance with
+    # occasional congestion outliers; report the MEDIAN of 3 timed runs
+    reps = int(os.environ.get("BENCH_REPS", "3"))
+    rates = []
+    for _ in range(reps):
+        done, elapsed = timed_run()
+        rates.append(done / elapsed)
+        print(f"{done} garments in {elapsed:.2f}s "
+              f"({done / elapsed:.2f} g/s)", file=sys.stderr)
+    gps = float(np.median(rates))
 
     if os.environ.get("BENCH_OVERFLOW", "1") != "0":
         # measure the active_cap overflow cliff: when a garment exceeds the

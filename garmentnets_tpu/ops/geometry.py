@@ -287,41 +287,60 @@ def winding_number(query_points: np.ndarray, verts: np.ndarray,
     return out.astype(np.float32)
 
 
+_WN_SOLID = None
+
+
 def _winding_number_jax(query_points, verts, faces,
                         chunk: int = 65536) -> np.ndarray:
     """Device path for winding_number: the solid-angle sum is an
-    einsum-shaped reduction, ideal accelerator work. Queries stream in
-    fixed-size chunks (one compile per mesh); HIGHEST precision keeps the
-    f32 einsums effectively exact."""
+    einsum-shaped reduction, ideal accelerator work. The mesh corners are
+    ARGUMENTS of one module-level jitted kernel (closure-captured arrays
+    would be baked into the HLO as constants — a fresh ~150 s axon compile
+    for every mesh) and the face count is padded to a 1024 bucket with
+    degenerate zero-solid-angle triangles, so one compile per (chunk,
+    bucket) serves every mesh. HIGHEST precision keeps the f32 einsums
+    effectively exact."""
     import jax
     import jax.numpy as jnp
+    global _WN_SOLID
+    if _WN_SOLID is None:
+        hi = jax.lax.Precision.HIGHEST
+
+        @jax.jit
+        def solid(q, a0, b0, c0):                       # [C,3], 3x [F,3]
+            a = a0[None] - q[:, None]
+            b = b0[None] - q[:, None]
+            c = c0[None] - q[:, None]
+            la = jnp.linalg.norm(a, axis=-1)
+            lb = jnp.linalg.norm(b, axis=-1)
+            lc = jnp.linalg.norm(c, axis=-1)
+            num = jnp.einsum("qfi,qfi->qf", a, jnp.cross(b, c),
+                             precision=hi)
+            den = (la * lb * lc
+                   + jnp.einsum("qfi,qfi->qf", a, b, precision=hi) * lc
+                   + jnp.einsum("qfi,qfi->qf", b, c, precision=hi) * la
+                   + jnp.einsum("qfi,qfi->qf", c, a, precision=hi) * lb)
+            omega = 2.0 * jnp.arctan2(num, den)
+            return jnp.sum(omega, axis=1) / (4.0 * np.pi)
+
+        _WN_SOLID = solid
+
     tri = np.asarray(verts, np.float32)[np.asarray(faces)]
+    fpad = (-len(tri)) % 1024
+    if fpad:
+        # repeated-vertex triangles: zero area and zero solid angle
+        tri = np.concatenate(
+            [tri, np.broadcast_to(tri[:1, :1], (fpad, 3, 3))])
+    import jax.numpy as jnp
     a0 = jnp.asarray(tri[:, 0])
     b0 = jnp.asarray(tri[:, 1])
     c0 = jnp.asarray(tri[:, 2])
-    hi = jax.lax.Precision.HIGHEST
-
-    @jax.jit
-    def solid(q):                                       # [C, 3]
-        a = a0[None] - q[:, None]
-        b = b0[None] - q[:, None]
-        c = c0[None] - q[:, None]
-        la = jnp.linalg.norm(a, axis=-1)
-        lb = jnp.linalg.norm(b, axis=-1)
-        lc = jnp.linalg.norm(c, axis=-1)
-        num = jnp.einsum("qfi,qfi->qf", a, jnp.cross(b, c), precision=hi)
-        den = (la * lb * lc
-               + jnp.einsum("qfi,qfi->qf", a, b, precision=hi) * lc
-               + jnp.einsum("qfi,qfi->qf", b, c, precision=hi) * la
-               + jnp.einsum("qfi,qfi->qf", c, a, precision=hi) * lb)
-        omega = 2.0 * jnp.arctan2(num, den)
-        return jnp.sum(omega, axis=1) / (4.0 * np.pi)
 
     n = len(query_points)
     q = np.asarray(query_points, np.float32)
     pad = (-n) % chunk
     if pad:
         q = np.concatenate([q, np.zeros((pad, 3), np.float32)])
-    outs = [np.asarray(solid(jnp.asarray(q[s:s + chunk])))
+    outs = [np.asarray(_WN_SOLID(jnp.asarray(q[s:s + chunk]), a0, b0, c0))
             for s in range(0, len(q), chunk)]
     return np.concatenate(outs)[:n].astype(np.float32)

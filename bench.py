@@ -104,11 +104,10 @@ def main():
     # BENCH_DECODE=default|high|highest: dense-decode matmul precision
     # (headline default 'high' is the parity-safe setting, see
     # configs/predict_default.yaml decode_precision)
-    precision = {
-        "high": jax.lax.Precision.HIGH,
-        "default": jax.lax.Precision.DEFAULT,
-        "highest": jax.lax.Precision.HIGHEST,
-    }[os.environ.get("BENCH_DECODE", "high")]
+    from garmentnets_tpu.harness.predict_engine import (
+        decode_precision_from_str)
+    precision = decode_precision_from_str(
+        os.environ.get("BENCH_DECODE", "high"))
     engine = PredictEngine(cfg, variables, volume_size=VOL,
                            gradient_sigma=0.5, precision=precision)
 

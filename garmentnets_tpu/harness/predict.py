@@ -163,12 +163,10 @@ def main(cfg, run_dir=None) -> pathlib.Path:
 
     pred_cfg = dict(cfg["prediction"])
     volume_size = pred_cfg["volume_size"]
-    import jax
-    precision = {
-        "high": jax.lax.Precision.HIGH,
-        "default": jax.lax.Precision.DEFAULT,
-        "highest": jax.lax.Precision.HIGHEST,
-    }[str(pred_cfg.get("decode_precision", "high")).lower()]
+    from garmentnets_tpu.harness.predict_engine import (
+        decode_precision_from_str)
+    precision = decode_precision_from_str(
+        pred_cfg.get("decode_precision", "high"))
     engine = PredictEngine(
         pipe_cfg, variables, volume_size=volume_size,
         gradient_sigma=pred_cfg["gradient_sigma"],

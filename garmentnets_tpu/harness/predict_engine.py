@@ -38,6 +38,22 @@ from garmentnets_tpu.ops.marching_cubes import (
     marching_cubes_bricks, marching_cubes)
 
 
+def decode_precision_from_str(name: str):
+    """Maps the `prediction.decode_precision` config value ('high' |
+    'default' | 'highest') to a jax.lax.Precision (single source of truth
+    for the predict CLI and the benchmarks)."""
+    table = {
+        "high": jax.lax.Precision.HIGH,
+        "default": jax.lax.Precision.DEFAULT,
+        "highest": jax.lax.Precision.HIGHEST,
+    }
+    key = str(name).lower()
+    if key not in table:
+        raise ValueError(
+            f"decode_precision must be one of {sorted(table)}, got {name!r}")
+    return table[key]
+
+
 class PredictEngine:
     def __init__(self, cfg: PipelineConfig, variables: dict,
                  volume_size: int = 128, gradient_sigma: float = 0.5,
@@ -363,7 +379,4 @@ class PredictEngine:
         ggm_dummy = jnp.zeros((1, S, S, S), jnp.float32)
         out = np.asarray(self._warp(self.variables, feature_volume,
                                     ggm_dummy, jnp.asarray(q)))
-        res = {"warp_field": out[0, :v, :3], "verts_ggm": out[0, :v, 3]}
-        if self.use_hole_prediction:
-            res["mc_surface_logits"] = out[0, :v, 4]
-        return res
+        return self._split_channels(out[0, :v])

@@ -573,8 +573,13 @@ struct Extractor {
                             int idx = si[c];
                             if (!okv[idx]) { ok = false; break; }
                             v8[c] = sup[idx];
-                            bool in = ascent ? (v8[c] > level)
-                                             : (v8[c] < level);
+                            // cube-discovery rule is the direction-
+                            // INDEPENDENT (v > level) straddle of
+                            // extract_active_cubes / bricks_to_cube_list
+                            // (== q >= 1, side-preserving quantization);
+                            // process_cube applies the ascent/descent
+                            // in-test itself
+                            bool in = v8[c] > level;
                             any_in |= in;
                             any_out |= !in;
                         }

@@ -179,6 +179,12 @@ def marching_cubes_bricks(brick_idx: np.ndarray, brick_vals_q: np.ndarray,
     brick_vals_q = np.ascontiguousarray(brick_vals_q, np.int8)
     nx, ny, nz = dims
     ascent = gradient_direction == "ascent"
+    if return_ranks and not ascent:
+        # the canonical crossing-edge set is keyed on the (v > level) side
+        # rule; descent-mode MC can place vertices on edges outside that
+        # set (corners dequantizing to exactly `level`), which would
+        # corrupt the rank <-> vertex bijection
+        raise ValueError("return_ranks requires gradient_direction='ascent'")
     ranks = None
     if _load_lib() is not None:
         lib = _load_lib()
@@ -214,6 +220,10 @@ def marching_cubes_bricks(brick_idx: np.ndarray, brick_vals_q: np.ndarray,
         verts = verts.astype(np.float32)
         faces = faces.astype(np.int64)
     else:
+        # the python helpers assume a cubic grid (the engine always passes
+        # one); the C++ path above handles general (nx, ny, nz)
+        assert nx == ny == nz, (
+            f"python brick-MC fallback requires cubic dims, got {dims}")
         cube_base, cube_vals = bricks_to_cube_list(
             brick_idx, brick_vals_q, level, nx)
         if method == "cubes":

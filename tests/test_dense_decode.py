@@ -196,14 +196,19 @@ def test_brick_extraction_matches_cube_extraction():
         for k in ref:
             np.testing.assert_allclose(got[k], ref[k], atol=1e-6)
         # the brick-mode mesh (C++ cube discovery, or the python fallback)
-        # must equal the active-list mesh on the same dequantized values
-        v_ref, f_ref = marching_cubes_active(
-            ref_base, ref_vals, (S, S, S), level, spacing)
-        v_brk, f_brk = marching_cubes_bricks(
-            np.asarray(bb)[b, :nb], np.asarray(bv)[b, :nb], (S, S, S),
-            level, spacing)
-        assert len(v_brk) == len(v_ref)
-        assert len(f_brk) == len(f_ref)
-        s1 = set(map(tuple, np.round(v_brk, 4)))
-        s2 = set(map(tuple, np.round(v_ref, 4)))
-        assert s1 == s2
+        # must equal the active-list mesh on the same dequantized values —
+        # in BOTH gradient directions (cube discovery uses the direction-
+        # independent v>level straddle; the per-cube triangulation applies
+        # the ascent/descent in-test itself)
+        for direction in ("ascent", "descent"):
+            v_ref, f_ref = marching_cubes_active(
+                ref_base, ref_vals, (S, S, S), level, spacing,
+                gradient_direction=direction)
+            v_brk, f_brk = marching_cubes_bricks(
+                np.asarray(bb)[b, :nb], np.asarray(bv)[b, :nb], (S, S, S),
+                level, spacing, gradient_direction=direction)
+            assert len(v_brk) == len(v_ref), direction
+            assert len(f_brk) == len(f_ref), direction
+            s1 = set(map(tuple, np.round(v_brk, 4)))
+            s2 = set(map(tuple, np.round(v_ref, 4)))
+            assert s1 == s2, direction

@@ -136,8 +136,10 @@ def main():
     res["pack_brick_pages"] = timeit(pk, base, vals, n=args.n)
 
     # --- fused encode ---
-    res["FUSED encode"] = timeit(
-        lambda: engine._encode(variables, x, pos), n=args.n)
+    # pass variables/x/pos as ARGUMENTS: a no-arg closure would bake the
+    # model weights into the HLO as constants (constant-foldable — not the
+    # program the predict loop runs; see geometry._winding_number_jax)
+    res["FUSED encode"] = timeit(engine._encode, variables, x, pos, n=args.n)
 
     width = max(len(k) for k in res)
     for k, v in res.items():

@@ -58,3 +58,52 @@ def test_predict_engine_sharded():
     verts = np.random.RandomState(0).rand(37, 3).astype(np.float32)
     w = engine1.warp(out1["feature_volume"][:1], verts)
     assert w["warp_field"].shape == (37, 3)
+
+
+def test_predict_engine_overflow_fallback():
+    """Brick-capacity overflow must fall back to full-volume marching cubes
+    with a host-vertex warp query, and produce (approximately) the same
+    meshes/warps as the brick fast path on the same inputs."""
+    from garmentnets_tpu.harness.predict_engine import PredictEngine
+    from garmentnets_tpu.models.pipeline import ConvImplicitWNFPipeline
+
+    cfg = graft._small_cfg()
+    model = ConvImplicitWNFPipeline(cfg)
+    batch = graft._make_batch(B=2)
+    variables = model.init(jax.random.PRNGKey(0), batch, train=False)
+
+    normal = PredictEngine(cfg, variables, volume_size=16, warp_bucket=64)
+    # active_cap=64 -> brick_cap 64 bricks; a 16^3 grid has 64 bricks, so a
+    # surface touching more than 64 shipped bricks... force overflow harder:
+    # cap 8 bricks, far below any real isosurface's shipped count
+    tiny = PredictEngine(cfg, variables, volume_size=16, warp_bucket=64,
+                         active_cap=64)
+    tiny.brick_cap = 8
+    tiny.brick_page = 8
+
+    enc_n = normal.encode(batch["x"], batch["pos"])
+    normal.prefetch(enc_n)
+    meshes_n = normal.extract_meshes(enc_n)
+    warps_n = normal.warp_batch(enc_n, meshes_n)
+
+    enc_t = tiny.encode(batch["x"], batch["pos"])
+    tiny.prefetch(enc_t)
+    counts = np.asarray(enc_t["active_counts"])
+    assert counts.max() > tiny.brick_cap, "test requires an overflow"
+    meshes_t = tiny.extract_meshes(enc_t)
+    warps_t = tiny.warp_batch(enc_t, meshes_t)
+
+    for mn, mt, wn, wt in zip(meshes_n, meshes_t, warps_n, warps_t):
+        assert (mn is None) == (mt is None)
+        if mn is None:
+            continue
+        # fallback MC runs on the f32 volume; the fast path on int8
+        # dequantized bricks — same surface within quantization tolerance
+        assert abs(len(mn[0]) - len(mt[0])) <= 0.05 * len(mn[0]) + 8
+        assert wt["warp_field"].shape == (len(mt[0]), 3)
+        assert wt["verts_ggm"].shape == (len(mt[0]),)
+        assert np.isfinite(wt["warp_field"]).all()
+        # surfaces coincide: mean NN distance far below a voxel
+        from scipy.spatial import cKDTree
+        d = cKDTree(mn[0]).query(mt[0], k=1)[0]
+        assert d.mean() < 0.25 / 15, d.mean()

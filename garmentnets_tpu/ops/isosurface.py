@@ -1,12 +1,22 @@
-"""Device-side active-cube extraction for host marching cubes.
+"""Device-side isosurface extraction for host marching cubes.
 
-The remote-TPU link is bandwidth- and latency-poor (measured ~20 MB/s d2h);
-shipping full 128^3 WNF volumes to the host (8.4 MB/garment, plus another
-8.4 MB of gradient magnitude) would dominate end-to-end predict time. Instead
-the device finds the cubes whose corners straddle the iso level and emits a
-fixed-capacity (static-shape) list of cube ids + corner values — ~1 MB per
-garment. The C++ marching-cubes kernel consumes the list directly
-(marching_cubes.marching_cubes_active), also skipping its full-volume scan.
+The remote-TPU link is bandwidth- and latency-poor (~30 MB/s d2h with a
+~27 ms per-transfer latency floor); shipping full 128^3 WNF volumes to the
+host (8.4 MB/garment, plus another 8.4 MB of gradient magnitude) would
+dominate end-to-end predict time. Three static-shape extraction formats,
+from oldest to the production path:
+
+- extract_active_cubes: per-cube list (cube id + 8 corner values). Simple,
+  but compaction over the (S-1)^3 cube grid is the cost.
+- extract_active_bricks (PRODUCTION): non-overlapping int8 4^3 bricks in a
+  brick-major layout — 64x smaller compaction, contiguous 64-byte row
+  gathers, ~0.2 MB/garment paged to the true count. The C++ kernel
+  (marching_cubes.marching_cubes_bricks) discovers the straddling cubes
+  from the bricks itself.
+- extract_crossing_edges: canonical enumeration of the iso-crossing grid
+  edges (== MC vertices, 1:1), for on-device warp queries keyed by rank.
+  Validated but not wired into the engine (see predict_engine design note:
+  TPU stream compaction costs more than the host-vertex upload it saves).
 
 Corner order matches marching_cubes.CUBE_CORNERS.
 """

@@ -91,8 +91,10 @@ def process_item(engine, enc_np, item, batch_np, input_group, output_group,
 
     pc_data = {
         "pred_nocs": enc_np["pred_nocs"][item],
-        "pred_nocs_confidence": enc_np["pred_nocs_confidence"][item],
-        "pred_nocs_logits": enc_np["per_point_logits"][item],
+        "pred_nocs_confidence": enc_np["pred_nocs_confidence"][item].astype(
+            np.float32),
+        "pred_nocs_logits": enc_np["per_point_logits"][item].astype(
+            np.float32),   # f16 on the link; f32 in the zarr (schema dtype)
         "input_points": batch_np["pos"][item],
         "input_rgb": (batch_np["x"][item] * 255).astype(np.uint8),
         "gt_nocs": batch_np["y"][item],

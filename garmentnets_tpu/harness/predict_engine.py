@@ -170,9 +170,18 @@ class PredictEngine:
             "active_counts": counts,
             "wnf_ggm": ggm,                      # stays on device
             "feature_volume": feature_volume,    # stays on device
-            "pred_nocs": nd["pos"],
-            "pred_nocs_confidence": nd["pred_confidence"],
-            "per_point_logits": p2_result["per_point_logits"],
+            "pred_nocs": nd["pos"],    # f32: feeds eval's NOCS metrics
+            # confidence feeds only visualization (reference eval.py:856)
+            "pred_nocs_confidence": nd["pred_confidence"].astype(
+                jnp.float16),
+            # f16 on the wire: [B, 6000, 192] of raw bin logits is the
+            # single largest predict-harness transfer (37 MB/batch at B=8
+            # in f32 — more than every other output combined); they are
+            # stored for schema parity but consumed by nothing downstream,
+            # and f16 keeps softmax-confidence recomputation to ~1e-3.
+            # The harness upcasts to f32 at the zarr write (schema dtype).
+            "per_point_logits": p2_result["per_point_logits"].astype(
+                jnp.float16),
             "global_logits": p2_result["global_logits"],
             "global_feature": p2_result["global_feature"],
         }

@@ -18,7 +18,10 @@ dense decode + ~100-200 ms host Lewiner MC + batch-1 python loop; see
 BASELINE.md) — the ">=10x garments/sec" target therefore maps to
 vs_baseline >= 10.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints JSON lines {"metric", "value", "unit", "vs_baseline"}: one immediately
+after the first timed rep (so a hard timeout still captures a valid number),
+then a refined median once all BENCH_REPS reps finish. The LAST JSON line on
+stdout is the most refined; any JSON line is valid.
 """
 from __future__ import annotations
 
@@ -177,17 +180,37 @@ def main():
         return done, time.time() - t_start
 
     # the device tunnel on this host has ~±10% run-to-run variance with
-    # occasional congestion outliers; report the MEDIAN of 3 timed runs
+    # occasional congestion outliers; the MEDIAN of 3 timed runs is the best
+    # number — but the driver runs bench.py under a hard timeout that a cold
+    # XLA-cache compile can eat entirely (round-1 BENCH was rc=124/null).
+    # So: emit a valid headline JSON line IMMEDIATELY after the FIRST timed
+    # rep, then refine with the remaining reps and re-emit. The LAST JSON
+    # line on stdout is the most refined; every JSON line is valid.
+    baseline_gps = 1.0  # estimated reference RTX 2080Ti (see docstring)
+
+    def emit(gps: float) -> None:
+        print(json.dumps({
+            "metric": "end-to-end predict throughput "
+                      f"(B={B}, {VOL}^3 WNF, 6000-pt clouds)",
+            "value": round(gps, 3),
+            "unit": "garments/sec",
+            "vs_baseline": round(gps / baseline_gps, 2),
+        }), flush=True)
+
     reps = int(os.environ.get("BENCH_REPS", "3"))
     rates = []
-    for _ in range(reps):
+    for rep in range(reps):
         done, elapsed = timed_run()
         rates.append(done / elapsed)
         print(f"{done} garments in {elapsed:.2f}s "
               f"({done / elapsed:.2f} g/s)", file=sys.stderr)
+        if rep == 0:
+            emit(rates[0])
     gps = float(np.median(rates))
 
-    if os.environ.get("BENCH_OVERFLOW", "1") != "0":
+    # overflow-cliff measurement is diagnostic-only and costs a second
+    # engine compile when cold — keep it off unless explicitly requested
+    if os.environ.get("BENCH_OVERFLOW", "0") == "1":
         # measure the active_cap overflow cliff: when a garment exceeds the
         # active-cube capacity, extract_meshes falls back to shipping full
         # WNF volumes over the device->host link + full-volume MC
@@ -210,14 +233,8 @@ def main():
               f"({gps / max(ov_gps, 1e-9):.1f}x slower than the active-list "
               "path)", file=sys.stderr)
 
-    baseline_gps = 1.0  # estimated reference RTX 2080Ti (see docstring)
-    print(json.dumps({
-        "metric": "end-to-end predict throughput "
-                  f"(B={B}, {VOL}^3 WNF, 6000-pt clouds)",
-        "value": round(gps, 3),
-        "unit": "garments/sec",
-        "vs_baseline": round(gps / baseline_gps, 2),
-    }))
+    if reps > 1:
+        emit(gps)
 
 
 if __name__ == "__main__":

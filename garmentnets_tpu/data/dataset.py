@@ -387,10 +387,10 @@ class Loader:
             return n // self.batch_size
         return -(-n // self.batch_size)
 
-    def _batches(self):
+    def _batches(self, epoch: int):
         order = self.idxs
         if self.shuffle:
-            rs = np.random.RandomState(self.seed + self.epoch)
+            rs = np.random.RandomState(self.seed + epoch)
             order = order[rs.permutation(len(order))]
         for i in range(len(self)):
             sel = [int(j) for j in
@@ -402,24 +402,45 @@ class Loader:
             yield collate(items)
 
     def __iter__(self):
+        # Snapshot + advance the epoch counter at iteration START, not on
+        # drain: consumers that break out early (limit_train_batches, e2e
+        # smokes) must still see a fresh shuffle order next epoch.
+        epoch = self.epoch
+        self.epoch += 1
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         stop = object()
+        abandoned = threading.Event()
 
         def worker():
             try:
-                for b in self._batches():
-                    q.put(b)
+                for b in self._batches(epoch):
+                    while not abandoned.is_set():
+                        try:
+                            q.put(b, timeout=0.2)
+                            break
+                        except queue.Full:
+                            continue
+                    else:
+                        return  # consumer gone: drop batch, exit thread
             finally:
-                q.put(stop)
+                try:
+                    q.put_nowait(stop)
+                except queue.Full:
+                    pass  # consumer gone and queue full: nobody will read
 
         t = threading.Thread(target=worker, daemon=True)
         t.start()
-        while True:
-            item = q.get()
-            if item is stop:
-                break
-            yield item
-        self.epoch += 1
+        try:
+            while True:
+                item = q.get()
+                if item is stop:
+                    break
+                yield item
+        finally:
+            # Runs on normal drain AND on generator abandonment (GC/close):
+            # unblock the prefetch thread so it releases dataset references
+            # instead of sitting on queue.put forever.
+            abandoned.set()
 
 
 class ConvImplicitWNFDataModule:

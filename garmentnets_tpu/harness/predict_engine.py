@@ -257,26 +257,6 @@ class PredictEngine:
                 if hasattr(p, "copy_to_host_async"):
                     p.copy_to_host_async()
 
-    def request_active(self, enc: dict) -> int:
-        """Issues the async copies for the active-page prefix covering this
-        batch's true counts; returns max(counts).
-
-        Blocks only on the (tiny, prefetched) counts array. Call this one
-        pipeline stage ahead of extract_meshes — right after the NEXT
-        batch's encode dispatch and the previous batch's warp dispatch —
-        so the ~count-sized page transfer streams over the link while the
-        host runs marching cubes for the previous batch. extract_meshes
-        re-issues the same copies harmlessly (a completed async copy is
-        cached by the runtime)."""
-        counts = np.asarray(enc["active_counts"])
-        kmax = int(counts.max()) if counts.size else 0
-        if 0 < kmax <= self.brick_cap:
-            n_pages = -(-kmax // self.brick_page)
-            for p in enc["active_pages"][:n_pages]:
-                if hasattr(p, "copy_to_host_async"):
-                    p.copy_to_host_async()
-        return kmax
-
     def extract_meshes(self, enc: dict) -> list:
         """Fetch the shipped brick pages once for the batch and run the host
         C++ marching-cubes kernel per garment (it discovers the straddling
@@ -305,7 +285,11 @@ class PredictEngine:
         pages = enc["active_pages"]
         n_pages = max(1, -(-kmax // self.brick_page))
         self._spec_pages = n_pages       # speculation for the next prefetch
-        for p in pages[1:n_pages]:       # prefix may already be in flight
+        # re-issue copies for ALL needed pages, including page 0: prefetch()
+        # normally started it, but callers that skip prefetch() must not
+        # silently lose overlap — re-issuing an in-flight/completed async
+        # copy is documented as harmless
+        for p in pages[:n_pages]:
             if hasattr(p, "copy_to_host_async"):
                 p.copy_to_host_async()
         brick_idx, brick_vals = unpack_brick_pages(pages[:n_pages])

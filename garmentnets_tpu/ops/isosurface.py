@@ -114,10 +114,10 @@ def dequantize_vals(vals, level: float):
     return vals.astype(np.float32)
 
 
-def pack_active_pages(base, vals_q, page: int):
-    """Packs (base [B,cap] i32, vals [B,cap,8] i8) into fixed-size transfer
-    pages: a tuple of [B, page, 12]-uint8 buffers (4 little-endian base
-    bytes + 8 quantized corner bytes per cube).
+def _pack_pages(base, payload_i8, page: int):
+    """Shared page packer: (base [B,cap] i32, payload [B,cap,K] i8) ->
+    tuple of [B, page, 4+K]-uint8 transfer buffers (4 little-endian index
+    bytes + K payload bytes per record).
 
     Page layout exists purely for the device->host link: the host needs only
     ceil(max(counts)/page) pages, so fetching per-page cuts the dominant
@@ -132,22 +132,34 @@ def pack_active_pages(base, vals_q, page: int):
     base_bytes = jnp.stack(
         [(b32 >> (8 * i)).astype(jnp.uint8) for i in range(4)],
         axis=-1)                                           # [B, cap, 4]
-    val_bytes = jax.lax.bitcast_convert_type(vals_q, jnp.uint8)
+    val_bytes = jax.lax.bitcast_convert_type(payload_i8, jnp.uint8)
     packed = jnp.concatenate([base_bytes, val_bytes], axis=-1)
     return tuple(jnp.split(packed, cap // page, axis=1))
 
 
-def unpack_active_pages(pages, level: float):
-    """Host-side inverse of pack_active_pages over the fetched page prefix:
-    returns (base [B, n*page] int32, vals [B, n*page, 8] float32)."""
+def _unpack_pages(pages):
+    """Host inverse of _pack_pages over the fetched page prefix: returns
+    (base [B, n*page] int32, payload [B, n*page, K] int8)."""
     import numpy as np
     buf = np.concatenate([np.asarray(p) for p in pages], axis=1)
     base = (buf[:, :, 0].astype(np.uint32)
             | (buf[:, :, 1].astype(np.uint32) << 8)
             | (buf[:, :, 2].astype(np.uint32) << 16)
             | (buf[:, :, 3].astype(np.uint32) << 24)).view(np.int32)
-    vals = dequantize_vals(buf[:, :, 4:].view(np.int8), level)
-    return base, vals
+    return base, buf[:, :, 4:].view(np.int8)
+
+
+def pack_active_pages(base, vals_q, page: int):
+    """Per-cube record pages: [B, page, 12] uint8 (4 base + 8 corner bytes).
+    See _pack_pages for the layout rationale."""
+    return _pack_pages(base, vals_q, page)
+
+
+def unpack_active_pages(pages, level: float):
+    """Inverse of pack_active_pages; dequantizes the corner values:
+    returns (base [B, n*page] int32, vals [B, n*page, 8] float32)."""
+    base, payload = _unpack_pages(pages)
+    return base, dequantize_vals(payload, level)
 
 
 # ---------------------------------------------------------------------------
@@ -421,34 +433,12 @@ def crossing_edge_mask_np(brick_idx, brick_vals_q, level: float,
 
 
 def pack_brick_pages(base, vals_q, page: int):
-    """Packs (brick_idx [B,cap] i32, vals [B,cap,64] i8) into fixed-size
-    transfer pages: a tuple of [B, page, 68]-uint8 buffers (4 little-endian
-    index bytes + 64 quantized voxel bytes per brick).
-
-    Page layout exists purely for the device->host link: the host needs only
-    ceil(max(counts)/page) pages, so fetching per-page cuts the dominant
-    predict transfer from cap-sized to count-sized without putting a
-    device-side dynamic slice on the critical path (each page is its own
-    XLA output buffer — the host picks which to copy). Byte order is fixed
-    by shift arithmetic (not bitcast) so host decode is platform-independent.
-    cap must be a multiple of page."""
-    B, cap = base.shape
-    assert cap % page == 0, (cap, page)
-    b32 = base.astype(jnp.uint32)
-    base_bytes = jnp.stack(
-        [(b32 >> (8 * i)).astype(jnp.uint8) for i in range(4)], axis=-1)
-    val_bytes = jax.lax.bitcast_convert_type(vals_q, jnp.uint8)
-    packed = jnp.concatenate([base_bytes, val_bytes], axis=-1)
-    return tuple(jnp.split(packed, cap // page, axis=1))
+    """Brick record pages (PRODUCTION path): [B, page, 68] uint8 (4 index +
+    64 quantized voxel bytes). See _pack_pages for the layout rationale."""
+    return _pack_pages(base, vals_q, page)
 
 
 def unpack_brick_pages(pages):
     """Host inverse of pack_brick_pages over the fetched page prefix:
     (brick_idx [B, n*page] int32, vals_q [B, n*page, 64] int8)."""
-    import numpy as np
-    buf = np.concatenate([np.asarray(p) for p in pages], axis=1)
-    base = (buf[:, :, 0].astype(np.uint32)
-            | (buf[:, :, 1].astype(np.uint32) << 8)
-            | (buf[:, :, 2].astype(np.uint32) << 16)
-            | (buf[:, :, 3].astype(np.uint32) << 24)).view(np.int32)
-    return base, buf[:, :, 4:].view(np.int8)
+    return _unpack_pages(pages)

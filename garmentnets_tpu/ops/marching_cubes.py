@@ -185,6 +185,12 @@ def marching_cubes_bricks(brick_idx: np.ndarray, brick_vals_q: np.ndarray,
         # set (corners dequantizing to exactly `level`), which would
         # corrupt the rank <-> vertex bijection
         raise ValueError("return_ranks requires gradient_direction='ascent'")
+    if return_ranks and method != "cubes":
+        # uniform across backends: tetrahedra places vertices on diagonal
+        # edges that have no rank in the canonical grid-edge enumeration
+        # (the C++ kernel would emit -1 there; the python fallback can't
+        # compute them at all)
+        raise ValueError("return_ranks requires method='cubes'")
     ranks = None
     if _load_lib() is not None:
         lib = _load_lib()

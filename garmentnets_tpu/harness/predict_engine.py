@@ -116,12 +116,25 @@ class PredictEngine:
             jax.tree_util.tree_map(np.asarray, vd),
             jax.tree_util.tree_map(np.asarray, vd_stats))
 
-        self._slab = 8 if volume_size % 8 == 0 else 4
+        # slab width for the dense decode's D-axis loop: largest of 8/4/2/1
+        # dividing the volume, further constrained so the slab count divides
+        # the mesh's 'space' axis when spatial sharding is active (each
+        # device must own a whole number of slabs)
+        n_space = (mesh.shape["space"]
+                   if mesh is not None and "space" in mesh.axis_names else 1)
+        self._slab = next(
+            s for s in (8, 4, 2, 1)
+            if volume_size % s == 0 and (volume_size // s) % n_space == 0)
         self._encode = jax.jit(self._encode_impl)
         self._warp = jax.jit(self._warp_impl)
         if mesh is not None:
+            # mesh may be 1-D ("data",) — plain batch DP — or 2-D
+            # ("data", "space"): batch DP composed with D-axis slab sharding
+            # of the dense decode (see ops/dense_decode spatial sharding).
+            # All host-facing outputs stay batch-sharded either way.
             from jax.sharding import NamedSharding, PartitionSpec as P
-            bs = NamedSharding(mesh, P("data"))
+            data = "data" if "data" in mesh.axis_names else None
+            bs = NamedSharding(mesh, P(data))
             rep = NamedSharding(mesh, P())
             self._encode = jax.jit(
                 self._encode_impl,
@@ -150,7 +163,7 @@ class PredictEngine:
         wnf = dense_decode(jnp.swapaxes(feature_volume, 1, 3),
                            self._vd_layers,
                            self.volume_size, slab=self._slab,
-                           precision=self.precision)
+                           precision=self.precision, mesh=self.mesh)
         ggm = gaussian_gradient_magnitude(wnf, self.gradient_sigma)
         base, vals, counts = extract_active_bricks(
             wnf, self.iso_level, self.brick_cap)
@@ -315,7 +328,8 @@ class PredictEngine:
                 lambda fv: dense_decode(jnp.swapaxes(fv, 1, 3),
                                         self._vd_layers,
                                         self.volume_size, slab=self._slab,
-                                        precision=self.precision))
+                                        precision=self.precision,
+                                        mesh=self.mesh))
         return self._dense_wnf_fn(enc["feature_volume"])
 
     def warp_dispatch(self, enc: dict, meshes: list):

@@ -75,30 +75,12 @@ def eval_layers(mlp_params: dict, mlp_batch_stats: dict,
     return layers
 
 
-def dense_decode(feature_volume: jax.Array, layers, volume_size: int,
-                 slab: int = 4, precision=None) -> jax.Array:
-    """Evaluate an eval-mode PointMLP head on the dense lattice.
-
-    feature_volume: [B, D, H, W, C]; layers: from eval_layers().
-    Returns [B, S, S, S] when the head is scalar, else [B, S, S, S, C_out].
-    """
-    B, D, H, W, C = feature_volume.shape
-    S = volume_size
-    layers = [tuple(jnp.asarray(a) for a in lay) for lay in layers]
-
-    # first affine at the coarse grid (commutes with interpolation)
-    k0, b0, g0, s0 = layers[0]
-    z = jnp.einsum("bdhwc,co->bdhwo", feature_volume, k0,
-                   precision=precision) + b0
-    wh = jnp.asarray(interp_matrix(S, H))
-    ww = jnp.asarray(interp_matrix(S, W))
-
-    # D-axis upsample: each output slice interpolates exactly 2 adjacent
-    # source slices. Gather just those per slab instead of contracting the
-    # full D axis; H/W upsampling also happens inside the slab loop, so the
-    # only materialized fine-lattice tensors are one slab wide (peak memory
-    # O(B*slab*S^2*C) — the 256^3 stretch config fits on one chip).
-    assert S % slab == 0
+def _slab_plan(S: int, D: int, slab: int):
+    """Per-slab D-axis interpolation plan: each output slice interpolates
+    exactly 2 adjacent source slices, so a slab of `slab` output slices only
+    needs a `win`-wide contiguous source window. Returns
+    (d0 [n_slabs] i32 window starts, w_win [n_slabs, slab, win] f32 weights,
+    win)."""
     n_slabs = S // slab
     pos = np.arange(S) * (D - 1) / max(S - 1, 1)
     lo = np.clip(np.floor(pos).astype(np.int64), 0, D - 2)  # pair base
@@ -115,23 +97,85 @@ def dense_decode(feature_volume: jax.Array, layers, volume_size: int,
             off = slab_base[i, j] - d0[i]
             w_win[i, j, off] += 1 - frac[i * slab + j]
             w_win[i, j, off + 1] += frac[i * slab + j]
-    d0 = jnp.asarray(d0, jnp.int32)
+    return d0.astype(np.int32), w_win, win
+
+
+def dense_decode(feature_volume: jax.Array, layers, volume_size: int,
+                 slab: int = 4, precision=None,
+                 mesh=None, space_axis: str = "space") -> jax.Array:
+    """Evaluate an eval-mode PointMLP head on the dense lattice.
+
+    feature_volume: [B, D, H, W, C]; layers: from eval_layers().
+    Returns [B, S, S, S] when the head is scalar, else [B, S, S, S, C_out].
+
+    Spatial sharding (SURVEY.md §2.5 model-sharding row; the TPU-native form
+    of the reference's host-side ArraySlicer chunk loop, predict.py:147-156):
+    when `mesh` has an axis named `space_axis`, the D-axis slab loop is
+    shard_map'ed over it — each device runs lax.map over its own contiguous
+    chunk of slabs against the (small, replicated-over-space) coarse volume.
+    This is how a 256^3 decode scales past one chip when the batch axis alone
+    can't fill the mesh: a ("data", "space") mesh composes batch DP with
+    slab SP, and collectives stay on ICI. The coarse `z` volume is only
+    B x 32^3 x C, so replicating it across the space axis costs ~nothing
+    next to the fine-lattice matmuls it unlocks.
+    """
+    B, D, H, W, C = feature_volume.shape
+    S = volume_size
+    layers = [tuple(jnp.asarray(a) for a in lay) for lay in layers]
+
+    # first affine at the coarse grid (commutes with interpolation)
+    k0, b0, g0, s0 = layers[0]
+    z = jnp.einsum("bdhwc,co->bdhwo", feature_volume, k0,
+                   precision=precision) + b0
+    wh = jnp.asarray(interp_matrix(S, H))
+    ww = jnp.asarray(interp_matrix(S, W))
+
+    # D-axis upsample in slabs: H/W upsampling also happens inside the slab
+    # loop, so the only materialized fine-lattice tensors are one slab wide
+    # (peak memory O(B*slab*S^2*C) — the 256^3 stretch fits on one chip).
+    assert S % slab == 0
+    n_slabs = S // slab
+    d0, w_win, win = _slab_plan(S, D, slab)
+    d0 = jnp.asarray(d0)
     w_win = jnp.asarray(w_win)
 
-    def do_slab(args):
-        d_start, w_slab = args
-        zz = jax.lax.dynamic_slice_in_dim(z, d_start, win, axis=1)
-        h = jnp.einsum("sd,bdhwc->bshwc", w_slab, zz, precision=precision)
-        h = jnp.einsum("oh,bshwc->bsowc", wh, h, precision=precision)
-        h = jnp.einsum("ow,bshwc->bshoc", ww, h, precision=precision)
-        h = jax.nn.relu(h) * g0 + s0
-        for (k, b, g, s) in layers[1:]:
-            h = jnp.einsum("bshwc,co->bshwo", h, k,
-                           precision=precision) + b
-            h = jax.nn.relu(h) * g + s
-        return h
+    def slab_chunk(z_full, d0_c, w_win_c):
+        """lax.map over a chunk of slabs -> [n_chunk, B, slab, S, S, O]."""
+        def do_slab(args):
+            d_start, w_slab = args
+            zz = jax.lax.dynamic_slice_in_dim(z_full, d_start, win, axis=1)
+            h = jnp.einsum("sd,bdhwc->bshwc", w_slab, zz,
+                           precision=precision)
+            h = jnp.einsum("oh,bshwc->bsowc", wh, h, precision=precision)
+            h = jnp.einsum("ow,bshwc->bshoc", ww, h, precision=precision)
+            h = jax.nn.relu(h) * g0 + s0
+            for (k, b, g, s) in layers[1:]:
+                h = jnp.einsum("bshwc,co->bshwo", h, k,
+                               precision=precision) + b
+                h = jax.nn.relu(h) * g + s
+            return h
+        return jax.lax.map(do_slab, (d0_c, w_win_c))
 
-    out = jax.lax.map(do_slab, (d0, w_win))       # [S/slab, B, slab, S, S, O]
+    if mesh is not None and space_axis in mesh.axis_names:
+        try:
+            from jax import shard_map          # jax >= 0.4.35
+        except ImportError:                    # pragma: no cover
+            from jax.experimental.shard_map import shard_map
+        from jax.sharding import PartitionSpec as P
+        n_space = mesh.shape[space_axis]
+        assert n_slabs % n_space == 0, (
+            f"S/slab = {n_slabs} slabs must divide over the {n_space}-way "
+            f"'{space_axis}' mesh axis")
+        data_axis = next(
+            (a for a in mesh.axis_names if a != space_axis and B > 1
+             and B % mesh.shape[a] == 0), None)
+        z_spec = P(data_axis) if data_axis else P()
+        out = shard_map(
+            slab_chunk, mesh=mesh,
+            in_specs=(z_spec, P(space_axis), P(space_axis)),
+            out_specs=P(space_axis, data_axis))(z, d0, w_win)
+    else:
+        out = slab_chunk(z, d0, w_win)           # [S/slab, B, slab, S, S, O]
     out = jnp.moveaxis(out, 0, 1).reshape(B, S, S, S, -1)
     if out.shape[-1] == 1:
         out = out[..., 0]

@@ -42,6 +42,21 @@ def make_mesh(num_devices: int = -1, axis_name: str = "data") -> Mesh:
     return Mesh(np.asarray(devices[:num_devices]), (axis_name,))
 
 
+def make_mesh_2d(n_data: int, n_space: int,
+                 data_axis: str = "data",
+                 space_axis: str = "space") -> Mesh:
+    """("data", "space") mesh composing batch DP with the dense decode's
+    D-axis slab sharding (ops/dense_decode). The space axis is the INNER
+    (fastest-varying) dimension so slab-neighbor devices are ICI-adjacent
+    — slab sharding has no cross-slab traffic, but the post-decode gather
+    back to batch sharding rides the shorter links."""
+    devices = jax.devices()
+    assert n_data * n_space <= len(devices), (
+        n_data, n_space, len(devices))
+    grid = np.asarray(devices[:n_data * n_space]).reshape(n_data, n_space)
+    return Mesh(grid, (data_axis, space_axis))
+
+
 def batch_sharding(mesh: Mesh, axis_name: str = "data") -> NamedSharding:
     return NamedSharding(mesh, P(axis_name))
 

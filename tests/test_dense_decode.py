@@ -212,3 +212,41 @@ def test_brick_extraction_matches_cube_extraction():
             s1 = set(map(tuple, np.round(v_brk, 4)))
             s2 = set(map(tuple, np.round(v_ref, 4)))
             assert s1 == s2, direction
+
+
+def test_dense_decode_spatial_sharding_equality():
+    """VERDICT r1 #2: the D-axis slab loop sharded over a 'space' mesh axis
+    must be numerically identical to the single-device decode, for both a
+    pure-spatial mesh and a composed ("data", "space") mesh."""
+    from jax.sharding import Mesh
+    from garmentnets_tpu.parallel.mesh import make_mesh_2d
+
+    rng = np.random.RandomState(3)
+    B, D, C, S = 2, 6, 8, 16
+    fv = jnp.asarray(rng.rand(B, D, D, D, C), jnp.float32)
+    mlp = PointMLP((C, 16, 1))
+    q = jnp.asarray(rng.rand(B, 5, 3), jnp.float32)
+    variables = mlp.init(jax.random.PRNGKey(0),
+                         grid_sample_trilinear(fv, q), train=False)
+    layers = eval_layers(
+        jax.tree_util.tree_map(np.asarray, variables["params"]),
+        jax.tree_util.tree_map(np.asarray, variables["batch_stats"]))
+
+    kw = dict(slab=4, precision=jax.lax.Precision.HIGHEST)
+    ref = np.asarray(dense_decode(fv, layers, S, **kw))
+
+    space_only = Mesh(np.asarray(jax.devices()[:4]), ("space",))
+    out_s = np.asarray(jax.jit(
+        lambda v: dense_decode(v, layers, S, mesh=space_only, **kw))(fv))
+    np.testing.assert_allclose(out_s, ref, rtol=1e-6, atol=1e-6)
+
+    dp_sp = make_mesh_2d(2, 4)
+    out_2d = np.asarray(jax.jit(
+        lambda v: dense_decode(v, layers, S, mesh=dp_sp, **kw))(fv))
+    np.testing.assert_allclose(out_2d, ref, rtol=1e-6, atol=1e-6)
+
+    # a mesh without a space axis is a no-op passthrough
+    data_only = Mesh(np.asarray(jax.devices()[:2]), ("data",))
+    out_d = np.asarray(jax.jit(
+        lambda v: dense_decode(v, layers, S, mesh=data_only, **kw))(fv))
+    np.testing.assert_allclose(out_d, ref, rtol=1e-6, atol=1e-6)

@@ -107,3 +107,41 @@ def test_predict_engine_overflow_fallback():
         from scipy.spatial import cKDTree
         d = cKDTree(mn[0]).query(mt[0], k=1)[0]
         assert d.mean() < 0.25 / 15, d.mean()
+
+
+def test_predict_engine_spatial_mesh():
+    """PredictEngine on a ("data", "space") mesh: the dense decode slab loop
+    shards over 'space' while the batch shards over 'data'; results must
+    match the single-device engine (VERDICT r1 #2)."""
+    from garmentnets_tpu.harness.predict_engine import PredictEngine
+    from garmentnets_tpu.models.pipeline import ConvImplicitWNFPipeline
+    from garmentnets_tpu.parallel.mesh import make_mesh_2d
+
+    cfg = graft._small_cfg()
+    model = ConvImplicitWNFPipeline(cfg)
+    batch = graft._make_batch(B=2)
+    variables = model.init(jax.random.PRNGKey(0), batch, train=False)
+
+    mesh = make_mesh_2d(2, 4)
+    eng_sp = PredictEngine(cfg, variables, volume_size=16,
+                           mesh=mesh, warp_bucket=64, return_volume=True)
+    eng_1 = PredictEngine(cfg, variables, volume_size=16,
+                          warp_bucket=64, return_volume=True)
+    out_sp = eng_sp.encode(batch["x"], batch["pos"])
+    out_1 = eng_1.encode(batch["x"], batch["pos"])
+    np.testing.assert_allclose(
+        np.asarray(out_sp["wnf_volume"]), np.asarray(out_1["wnf_volume"]),
+        rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(out_sp["wnf_ggm"]), np.asarray(out_1["wnf_ggm"]),
+        rtol=1e-4, atol=1e-5)
+    # brick extraction agrees (same shipped set from identical fields)
+    np.testing.assert_array_equal(np.asarray(out_sp["active_counts"]),
+                                  np.asarray(out_1["active_counts"]))
+    m_sp = eng_sp.extract_meshes(out_sp)
+    m_1 = eng_1.extract_meshes(out_1)
+    for a, b in zip(m_sp, m_1):
+        assert (a is None) == (b is None)
+        if a is not None:
+            np.testing.assert_allclose(a[0], b[0], atol=1e-5)
+            np.testing.assert_array_equal(a[1], b[1])

@@ -22,10 +22,15 @@ import torch.nn.functional as F
 # point-cloud ops (dense batch)
 # ---------------------------------------------------------------------------
 
-def fps(pos: torch.Tensor, num_samples: int) -> torch.Tensor:
-    """Deterministic furthest point sampling, start index 0. pos: [B,N,3]."""
+def fps(pos: torch.Tensor, num_samples: int, start=None) -> torch.Tensor:
+    """Furthest point sampling. pos: [B,N,3]. Deterministic start index 0 by
+    default; pass `start` ([B] long) to emulate PyG's random_start=True
+    (torch_cluster picks a random seed point per batch element —
+    reference components/pointnet2.py:26 via torch_geometric.nn.fps)."""
     B, N, _ = pos.shape
     idx = torch.zeros(B, num_samples, dtype=torch.long)
+    if start is not None:
+        idx[:, 0] = start
     min_d = torch.full((B, N), float("inf"))
     ar = torch.arange(B)
     for i in range(1, num_samples):
@@ -41,6 +46,30 @@ def ball_query(pos: torch.Tensor, centers: torch.Tensor, r: float, k: int):
     d2 = ((centers[:, :, None] - pos[:, None]) ** 2).sum(-1)  # [B,M,N]
     vals, idx = torch.topk(d2, min(k, pos.shape[1]), largest=False)
     mask = vals <= r * r
+    return idx, mask
+
+
+def ball_query_first_k(pos: torch.Tensor, centers: torch.Tensor, r: float,
+                       k: int):
+    """PyG-semantics ball query: the FIRST k points (in index order) within
+    radius r, not the k nearest — torch_cluster's `radius` CUDA kernel stops
+    scanning once max_num_neighbors are found (reference
+    components/pointnet2.py:28-29 passes max_num_neighbors=64). Same return
+    contract as ball_query: (idx [B,M,K], mask)."""
+    K = min(k, pos.shape[1])
+    d2 = ((centers[:, :, None] - pos[:, None]) ** 2).sum(-1)  # [B,M,N]
+    within = d2 <= r * r
+    rank = within.long().cumsum(-1) - 1                       # [B,M,N]
+    take = within & (rank < K)
+    B, M, N = within.shape
+    idx = torch.zeros(B, M, K, dtype=torch.long)
+    mask = torch.zeros(B, M, K, dtype=torch.bool)
+    src = torch.arange(N)
+    for b in range(B):
+        for m in range(M):
+            js = src[take[b, m]]
+            idx[b, m, : len(js)] = js
+            mask[b, m, : len(js)] = True
     return idx, mask
 
 
@@ -83,17 +112,26 @@ class TwinPointConv(nn.Module):
 
 
 class TwinSAModule(nn.Module):
+    """Set `pyg_mode=True` (+ optional `fps_start` [B] long) to emulate the
+    reference's torch_cluster semantics — random-start FPS and
+    first-K-within-radius ball query — instead of this repo's deterministic
+    conventions (start 0, K-nearest). Used to bound the NOCS sensitivity to
+    the neighbor-selection difference (VERDICT r1 missing #1)."""
+
     def __init__(self, ratio, r, mlp):
         super().__init__()
         self.ratio, self.r = ratio, r
         self.conv = TwinPointConv(mlp)
+        self.pyg_mode = False
+        self.fps_start = None
 
     def forward(self, x, pos):
         B, N, _ = pos.shape
         M = int(N * self.ratio)
-        idx = fps(pos, M)
+        idx = fps(pos, M, start=self.fps_start if self.pyg_mode else None)
         centers = torch.gather(pos, 1, idx[..., None].expand(-1, -1, 3))
-        nidx, nmask = ball_query(pos, centers, self.r, 64)
+        bq = ball_query_first_k if self.pyg_mode else ball_query
+        nidx, nmask = bq(pos, centers, self.r, 64)
         K = nidx.shape[-1]
         nbr_pos = torch.gather(
             pos[:, None].expand(-1, M, -1, -1), 2,

@@ -70,14 +70,17 @@ def process_item(engine, enc_np, item, batch_np, input_group, output_group,
 
     mc_data = _nan_mc_placeholders()
     if mesh is not None and warp is not None:
-        mc_verts, mc_faces = mesh
+        mc_verts, mc_faces, mc_values = mesh
         mc_data = {
             "verts": mc_verts.astype(np.float32),
             "faces": mc_faces.astype(np.int32),
             "normals": per_vertex_normals(
                 mc_verts.astype(np.float64), mc_faces).astype(np.float32),
-            "volume_value": np.full(
-                (len(mc_verts),), pred_cfg["iso_surface_level"], np.float32),
+            # true per-vertex volume value, emitted by the host MC kernel
+            # from its corner values (skimage `values` semantics — max of
+            # the vertex's crossing-edge endpoints; reference stores
+            # skimage's output at predict.py:195-197)
+            "volume_value": mc_values.astype(np.float32),
             "volume_gradient_magnitude":
                 warp["verts_ggm"].astype(np.float32),
             "warp_field": warp["warp_field"].astype(np.float32),

@@ -208,7 +208,10 @@ class PredictEngine:
         tunnel on this host) and vertex coordinates/warp values only need
         ~1e-3 relative precision (sub-voxel at 128^3). The voxel index for
         the gradient-magnitude gather is computed on device instead of
-        being uploaded."""
+        being uploaded. (Per-vertex volume_value is NOT gathered here: the
+        host MC kernel emits it for free from the brick corner values —
+        keeping the dense WNF alive as an extra f16 encode output for a
+        device-side gather measured ~12% off end-to-end throughput.)"""
         model = self.model
         query_points = query_points_f16.astype(jnp.float32)
         out = model.apply(variables, feature_volume, query_points,
@@ -273,8 +276,11 @@ class PredictEngine:
     def extract_meshes(self, enc: dict) -> list:
         """Fetch the shipped brick pages once for the batch and run the host
         C++ marching-cubes kernel per garment (it discovers the straddling
-        cubes directly from the bricks). Returns a list of (verts, faces) or
-        None (no surface / NaN-sentinel case)."""
+        cubes directly from the bricks). Returns a list of (verts, faces,
+        values) — values is the per-vertex skimage-semantics volume value
+        the kernel emits from its corner values (reference stores skimage's
+        output at predict.py:195-197) — or None (no surface / NaN-sentinel
+        case)."""
         counts = np.asarray(enc["active_counts"])
         B = len(counts)
         kmax = int(counts.max()) if B else 0
@@ -288,10 +294,10 @@ class PredictEngine:
             wnf = np.asarray(self._dense_wnf(enc))
             for b in range(B):
                 try:
-                    v, f, _, _ = marching_cubes(
+                    v, f, _, vals = marching_cubes(
                         wnf[b], self.iso_level, spacing=spacing,
                         gradient_direction=self.gradient_direction)
-                    results[b] = (v, f)
+                    results[b] = (v, f, vals)
                 except ValueError:
                     pass
             return results
@@ -311,11 +317,12 @@ class PredictEngine:
             if n == 0:
                 continue
             try:
-                v, f = marching_cubes_bricks(
+                v, f, vals = marching_cubes_bricks(
                     brick_idx[b, :n], brick_vals[b, :n], (S, S, S),
                     self.iso_level, spacing,
-                    gradient_direction=self.gradient_direction)
-                results[b] = (v, f)
+                    gradient_direction=self.gradient_direction,
+                    return_values=True)
+                results[b] = (v, f, vals)
             except ValueError:
                 pass
         return results

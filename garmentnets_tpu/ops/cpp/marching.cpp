@@ -33,6 +33,9 @@ struct Mesh {
     std::vector<int32_t> faces; // 3 * nf
     std::vector<int32_t> ranks; // nv (brick mode w/ ranks: canonical
                                 //     crossing-edge rank of each vertex)
+    std::vector<float> values;  // nv (want_values: max of the vertex's
+                                //     crossing-edge endpoint values — the
+                                //     skimage `values` local-max measure)
 };
 
 // open-addressing hash map: 64-bit edge key -> vertex index; grows at 50%
@@ -105,6 +108,7 @@ struct Extractor {
     // extract_crossing_edges), so every vertex can be tagged with the index
     // of its edge in the device's on-device warp-query output.
     bool want_ranks = false;
+    bool want_values = false;             // emit per-vertex Mesh::values
     std::vector<uint64_t> cross_bits;     // [n_bricks * 3] (64 bits/dir)
     std::vector<int64_t> cross_prefix;    // [n_bricks] exclusive
 
@@ -199,6 +203,7 @@ struct Extractor {
         mesh.verts.push_back(py);
         mesh.verts.push_back(pz);
         if (want_ranks) mesh.ranks.push_back(rank);
+        if (want_values) mesh.values.push_back(va > vb ? va : vb);
         *v = idx;
         return idx;
     }
@@ -615,24 +620,42 @@ const int Extractor::FACE_E[6][4] = {
 
 extern "C" {
 
-// Returns 0 on success. Caller frees *verts_out / *faces_out with mt_free.
+// Shared output marshalling: verts/faces always; values when requested.
+static void copy_mesh_out(const Mesh& mesh,
+                          float** verts_out, int64_t* nv_out,
+                          int32_t** faces_out, int64_t* nf_out,
+                          float** values_out) {
+    int64_t nv = (int64_t)(mesh.verts.size() / 3);
+    int64_t nf = (int64_t)(mesh.faces.size() / 3);
+    *nv_out = nv;
+    *nf_out = nf;
+    *verts_out = (float*)malloc(sizeof(float) * 3 * (nv ? nv : 1));
+    *faces_out = (int32_t*)malloc(sizeof(int32_t) * 3 * (nf ? nf : 1));
+    if (nv) memcpy(*verts_out, mesh.verts.data(), sizeof(float) * 3 * nv);
+    if (nf) memcpy(*faces_out, mesh.faces.data(), sizeof(int32_t) * 3 * nf);
+    if (values_out) {
+        *values_out = (float*)malloc(sizeof(float) * (nv ? nv : 1));
+        if (nv) memcpy(*values_out, mesh.values.data(), sizeof(float) * nv);
+    }
+}
+
+// Returns 0 on success. Caller frees *verts_out / *faces_out (and, when
+// non-NULL, *values_out) with mt_free. values_out (optional): per-vertex
+// max of the vertex's edge endpoint values — the skimage marching_cubes
+// `values` output ("a measure for the maximum value of the data in the
+// local region near each vertex"; reference stores it, predict.py:195-197).
 // method: 0 = marching cubes (default), 1 = marching tetrahedra.
 int extract_isosurface(
         const float* vol, int64_t nx, int64_t ny, int64_t nz,
         float level, float sx, float sy, float sz, int ascent, int method,
         float** verts_out, int64_t* nv_out,
-        int32_t** faces_out, int64_t* nf_out) {
+        int32_t** faces_out, int64_t* nf_out,
+        float** values_out) {
     Extractor ex(vol, nx, ny, nz, level, sx, sy, sz, ascent != 0);
     ex.method = method;
+    ex.want_values = values_out != nullptr;
     ex.run();
-    int64_t nv = (int64_t)(ex.mesh.verts.size() / 3);
-    int64_t nf = (int64_t)(ex.mesh.faces.size() / 3);
-    *nv_out = nv;
-    *nf_out = nf;
-    *verts_out = (float*)malloc(sizeof(float) * 3 * (nv ? nv : 1));
-    *faces_out = (int32_t*)malloc(sizeof(int32_t) * 3 * (nf ? nf : 1));
-    if (nv) memcpy(*verts_out, ex.mesh.verts.data(), sizeof(float) * 3 * nv);
-    if (nf) memcpy(*faces_out, ex.mesh.faces.data(), sizeof(int32_t) * 3 * nf);
+    copy_mesh_out(ex.mesh, verts_out, nv_out, faces_out, nf_out, values_out);
     return 0;
 }
 
@@ -645,19 +668,14 @@ int extract_isosurface_active(
         int64_t nx, int64_t ny, int64_t nz,
         float level, float sx, float sy, float sz, int ascent, int method,
         float** verts_out, int64_t* nv_out,
-        int32_t** faces_out, int64_t* nf_out) {
+        int32_t** faces_out, int64_t* nf_out,
+        float** values_out) {
     Extractor ex(nullptr, nx, ny, nz, level, sx, sy, sz, ascent != 0,
                  (size_t)n_active);
     ex.method = method;
+    ex.want_values = values_out != nullptr;
     ex.run_active(cube_idx, corner_vals, n_active);
-    int64_t nv = (int64_t)(ex.mesh.verts.size() / 3);
-    int64_t nf = (int64_t)(ex.mesh.faces.size() / 3);
-    *nv_out = nv;
-    *nf_out = nf;
-    *verts_out = (float*)malloc(sizeof(float) * 3 * (nv ? nv : 1));
-    *faces_out = (int32_t*)malloc(sizeof(int32_t) * 3 * (nf ? nf : 1));
-    if (nv) memcpy(*verts_out, ex.mesh.verts.data(), sizeof(float) * 3 * nv);
-    if (nf) memcpy(*faces_out, ex.mesh.faces.data(), sizeof(int32_t) * 3 * nf);
+    copy_mesh_out(ex.mesh, verts_out, nv_out, faces_out, nf_out, values_out);
     return 0;
 }
 
@@ -680,10 +698,11 @@ int extract_isosurface_bricks(
         int ascent, int method,
         float** verts_out, int64_t* nv_out,
         int32_t** faces_out, int64_t* nf_out,
-        int32_t** ranks_out) {
+        int32_t** ranks_out, float** values_out) {
     Extractor ex(nullptr, nx, ny, nz, level, sx, sy, sz, ascent != 0,
                  (size_t)n_bricks * 8);
     ex.method = method;
+    ex.want_values = values_out != nullptr;
     ex.bricks = brick_vals;
     ex.qscale = qscale;
     ex.nbx = nx / 4; ex.nby = ny / 4; ex.nbz = nz / 4;
@@ -697,15 +716,9 @@ int extract_isosurface_bricks(
         ex.build_cross_ranks(brick_idx, n_bricks);
     }
     ex.run_bricks(brick_idx, n_bricks);
-    int64_t nv = (int64_t)(ex.mesh.verts.size() / 3);
-    int64_t nf = (int64_t)(ex.mesh.faces.size() / 3);
-    *nv_out = nv;
-    *nf_out = nf;
-    *verts_out = (float*)malloc(sizeof(float) * 3 * (nv ? nv : 1));
-    *faces_out = (int32_t*)malloc(sizeof(int32_t) * 3 * (nf ? nf : 1));
-    if (nv) memcpy(*verts_out, ex.mesh.verts.data(), sizeof(float) * 3 * nv);
-    if (nf) memcpy(*faces_out, ex.mesh.faces.data(), sizeof(int32_t) * 3 * nf);
+    copy_mesh_out(ex.mesh, verts_out, nv_out, faces_out, nf_out, values_out);
     if (ranks_out) {
+        int64_t nv = *nv_out;
         *ranks_out = (int32_t*)malloc(sizeof(int32_t) * (nv ? nv : 1));
         if (nv) memcpy(*ranks_out, ex.mesh.ranks.data(),
                        sizeof(int32_t) * nv);

@@ -44,8 +44,9 @@ def _load_lib():
                 ["g++", "-O3", "-shared", "-fPIC", "-o", str(so), str(src)],
                 check=True, capture_output=True)
         lib = ctypes.CDLL(str(so))
+        float_pp = ctypes.POINTER(ctypes.POINTER(ctypes.c_float))
         out_args = [
-            ctypes.POINTER(ctypes.POINTER(ctypes.c_float)),
+            float_pp,
             ctypes.POINTER(ctypes.c_int64),
             ctypes.POINTER(ctypes.POINTER(ctypes.c_int32)),
             ctypes.POINTER(ctypes.c_int64),
@@ -56,7 +57,7 @@ def _load_lib():
             ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
             ctypes.c_float, ctypes.c_float, ctypes.c_float, ctypes.c_float,
             ctypes.c_int, ctypes.c_int,
-        ] + out_args
+        ] + out_args + [float_pp]
         lib.extract_isosurface_active.restype = ctypes.c_int
         lib.extract_isosurface_active.argtypes = [
             ctypes.POINTER(ctypes.c_int32),
@@ -64,7 +65,7 @@ def _load_lib():
             ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
             ctypes.c_float, ctypes.c_float, ctypes.c_float, ctypes.c_float,
             ctypes.c_int, ctypes.c_int,
-        ] + out_args
+        ] + out_args + [float_pp]
         lib.extract_isosurface_bricks.restype = ctypes.c_int
         lib.extract_isosurface_bricks.argtypes = [
             ctypes.POINTER(ctypes.c_int32),
@@ -73,7 +74,8 @@ def _load_lib():
             ctypes.c_float, ctypes.c_float,
             ctypes.c_float, ctypes.c_float, ctypes.c_float,
             ctypes.c_int, ctypes.c_int,
-        ] + out_args + [ctypes.POINTER(ctypes.POINTER(ctypes.c_int32))]
+        ] + out_args + [ctypes.POINTER(ctypes.POINTER(ctypes.c_int32)),
+                        float_pp]
         lib.mt_free.argtypes = [ctypes.c_void_p]
         _LIB = lib
     except Exception:
@@ -93,26 +95,38 @@ def _mc_native(vol, level, spacing, ascent, method="cubes"):
         nx, ny, nz, ctypes.c_float(level),
         ctypes.c_float(spacing[0]), ctypes.c_float(spacing[1]),
         ctypes.c_float(spacing[2]), 1 if ascent else 0,
-        _METHOD_CODE[method]))
+        _METHOD_CODE[method]), want_values=True)
 
 
-def _collect_mesh(lib_fn, args):
+def _collect_mesh(lib_fn, args, want_values: bool = False):
+    """Marshal (verts, faces[, values]) out of a C extractor call. The C
+    functions take a trailing nullable float** values_out."""
     verts_p = ctypes.POINTER(ctypes.c_float)()
     faces_p = ctypes.POINTER(ctypes.c_int32)()
+    values_p = ctypes.POINTER(ctypes.c_float)()
     nv = ctypes.c_int64()
     nf = ctypes.c_int64()
     lib = _load_lib()
     lib_fn(*args, ctypes.byref(verts_p), ctypes.byref(nv),
-           ctypes.byref(faces_p), ctypes.byref(nf))
+           ctypes.byref(faces_p), ctypes.byref(nf),
+           ctypes.byref(values_p) if want_values else None)
     try:
         verts = np.ctypeslib.as_array(
             verts_p, shape=(max(nv.value, 1), 3)).copy()[: nv.value]
         faces = np.ctypeslib.as_array(
             faces_p, shape=(max(nf.value, 1), 3)).copy()[: nf.value]
+        if want_values:
+            values = np.ctypeslib.as_array(
+                values_p, shape=(max(nv.value, 1),)).copy()[: nv.value]
     finally:
         lib.mt_free(verts_p)
         lib.mt_free(faces_p)
-    return verts.astype(np.float32), faces.astype(np.int64)
+        if want_values:
+            lib.mt_free(values_p)
+    out = (verts.astype(np.float32), faces.astype(np.int64))
+    if want_values:
+        out += (values.astype(np.float32),)
+    return out
 
 
 # corner offset order must match the C++/device extraction
@@ -145,10 +159,10 @@ def marching_cubes_active(cube_idx: np.ndarray, corner_vals: np.ndarray,
             ctypes.c_float(spacing[2]), 1 if ascent else 0,
             _METHOD_CODE[method]))
     elif method == "cubes":
-        verts, faces = _mc_python_cubes_active(
+        verts, faces, _ = _mc_python_cubes_active(
             cube_idx, corner_vals, dims, level, spacing, ascent)
     else:
-        verts, faces = _mc_numpy_active(
+        verts, faces, _ = _mc_numpy_active(
             cube_idx, corner_vals, dims, level, spacing, ascent)
     if len(verts) == 0 or len(faces) == 0:
         raise ValueError("no surface found at given iso level")
@@ -159,7 +173,8 @@ def marching_cubes_bricks(brick_idx: np.ndarray, brick_vals_q: np.ndarray,
                           dims, level: float, spacing,
                           gradient_direction: str = "ascent",
                           method: str = "cubes",
-                          return_ranks: bool = False):
+                          return_ranks: bool = False,
+                          return_values: bool = False):
     """Isosurface from device-extracted int8 bricks (the predict engine's
     production wire format — ops/isosurface.extract_active_bricks).
 
@@ -167,12 +182,14 @@ def marching_cubes_bricks(brick_idx: np.ndarray, brick_vals_q: np.ndarray,
     brick_vals_q: [K, 64] side-preserving quantized voxel values in local
     C-order. The C++ kernel discovers the straddling cubes directly from the
     bricks (no host-python expansion step); the pure-Python fallback routes
-    through bricks_to_cube_list. Returns (verts, faces) — or
-    (verts, faces, ranks) with return_ranks, where ranks[i] is vertex i's
-    index in the device's canonical crossing-edge enumeration
+    through bricks_to_cube_list. Returns (verts, faces), extended by
+    `values` with return_values (per-vertex edge-endpoint max — skimage's
+    `values` output, from the dequantized int8 field so within 1/QUANT_SCALE
+    of the true WNF) and/or by `ranks` with return_ranks, where ranks[i] is
+    vertex i's index in the device's canonical crossing-edge enumeration
     (ops/isosurface.extract_crossing_edges) for looking up on-device
-    warp-query results. Raises ValueError when no surface is produced
-    (NaN-sentinel protocol parity)."""
+    warp-query results; order (verts, faces[, values][, ranks]). Raises
+    ValueError when no surface is produced (NaN-sentinel protocol parity)."""
     from garmentnets_tpu.ops.isosurface import (
         VAL_QUANT_SCALE, bricks_to_cube_list)
     brick_idx = np.ascontiguousarray(brick_idx, np.int32)
@@ -197,6 +214,7 @@ def marching_cubes_bricks(brick_idx: np.ndarray, brick_vals_q: np.ndarray,
         verts_p = ctypes.POINTER(ctypes.c_float)()
         faces_p = ctypes.POINTER(ctypes.c_int32)()
         ranks_p = ctypes.POINTER(ctypes.c_int32)()
+        values_p = ctypes.POINTER(ctypes.c_float)()
         nv = ctypes.c_int64()
         nf = ctypes.c_int64()
         lib.extract_isosurface_bricks(
@@ -209,7 +227,8 @@ def marching_cubes_bricks(brick_idx: np.ndarray, brick_vals_q: np.ndarray,
             _METHOD_CODE[method],
             ctypes.byref(verts_p), ctypes.byref(nv),
             ctypes.byref(faces_p), ctypes.byref(nf),
-            ctypes.byref(ranks_p) if return_ranks else None)
+            ctypes.byref(ranks_p) if return_ranks else None,
+            ctypes.byref(values_p) if return_values else None)
         try:
             verts = np.ctypeslib.as_array(
                 verts_p, shape=(max(nv.value, 1), 3)).copy()[: nv.value]
@@ -218,11 +237,16 @@ def marching_cubes_bricks(brick_idx: np.ndarray, brick_vals_q: np.ndarray,
             if return_ranks:
                 ranks = np.ctypeslib.as_array(
                     ranks_p, shape=(max(nv.value, 1),)).copy()[: nv.value]
+            if return_values:
+                values = np.ctypeslib.as_array(
+                    values_p, shape=(max(nv.value, 1),)).copy()[: nv.value]
         finally:
             lib.mt_free(verts_p)
             lib.mt_free(faces_p)
             if return_ranks:
                 lib.mt_free(ranks_p)
+            if return_values:
+                lib.mt_free(values_p)
         verts = verts.astype(np.float32)
         faces = faces.astype(np.int64)
     else:
@@ -233,11 +257,11 @@ def marching_cubes_bricks(brick_idx: np.ndarray, brick_vals_q: np.ndarray,
         cube_base, cube_vals = bricks_to_cube_list(
             brick_idx, brick_vals_q, level, nx)
         if method == "cubes":
-            verts, faces, edge_keys = _mc_python_cubes_active(
+            verts, faces, values, edge_keys = _mc_python_cubes_active(
                 cube_base, cube_vals, dims, level, spacing, ascent,
                 return_edges=True)
         else:
-            verts, faces = _mc_numpy_active(
+            verts, faces, values = _mc_numpy_active(
                 cube_base, cube_vals, dims, level, spacing, ascent)
             edge_keys = None
         if return_ranks:
@@ -245,9 +269,12 @@ def marching_cubes_bricks(brick_idx: np.ndarray, brick_vals_q: np.ndarray,
                 edge_keys, brick_idx, brick_vals_q, level, dims)
     if len(verts) == 0 or len(faces) == 0:
         raise ValueError("no surface found at given iso level")
+    out = (verts, faces)
+    if return_values:
+        out += (values.astype(np.float32),)
     if return_ranks:
-        return verts, faces, ranks
-    return verts, faces
+        out += (ranks,)
+    return out if len(out) > 2 else (verts, faces)
 
 
 def _ranks_from_edge_keys(edge_keys, brick_idx, brick_vals_q, level, dims):
@@ -299,7 +326,8 @@ def _mc_numpy_active(cube_idx, corner_vals, dims, level, spacing, ascent):
     cube_idx = cube_idx[keep]
     corner_vals = corner_vals[keep]
     if len(cube_idx) == 0:
-        return np.zeros((0, 3), np.float32), np.zeros((0, 3), np.int64)
+        return (np.zeros((0, 3), np.float32), np.zeros((0, 3), np.int64),
+                np.zeros((0,), np.float32))
     # fill a dense volume with a far-side constant so only active cubes cross
     fill = level - 1.0 if ascent else level + 1.0
     vol = np.full((nx, ny, nz), fill, np.float32)
@@ -308,7 +336,7 @@ def _mc_numpy_active(cube_idx, corner_vals, dims, level, spacing, ascent):
     cx = cube_idx // (nz * ny)
     for c, (dx, dy, dz) in enumerate(CUBE_CORNERS):
         vol[cx + dx, cy + dy, cz + dz] = corner_vals[:, c]
-    verts, faces = _mc_numpy(vol, level, spacing, ascent)
+    verts, faces, values = _mc_numpy(vol, level, spacing, ascent)
     # drop any triangle not fully inside an active cube (fill-boundary
     # artifacts): triangles whose cube isn't active
     active = set(cube_idx.tolist())
@@ -322,7 +350,7 @@ def _mc_numpy_active(cube_idx, corner_vals, dims, level, spacing, ascent):
     used = np.unique(faces)
     remap = np.zeros(len(verts), np.int64)
     remap[used] = np.arange(len(used))
-    return verts[used], remap[faces]
+    return verts[used], remap[faces], values[used]
 
 
 # ---------------------------------------------------------------------------
@@ -391,6 +419,8 @@ def _chain_loops(segs):
 def _mc_python_cubes_active(cube_idx, corner_vals, dims, level, spacing,
                             ascent, return_edges: bool = False):
     """Python mirror of the C++ 'cubes' method over an active-cube list.
+    Returns (verts, faces, values) — values is the per-vertex edge-endpoint
+    max (skimage `values` semantics, same rule as the C++ kernel).
 
     return_edges additionally returns the (ga, gb) grid-vertex pair of each
     mesh vertex's edge (for crossing-edge rank computation)."""
@@ -398,6 +428,7 @@ def _mc_python_cubes_active(cube_idx, corner_vals, dims, level, spacing,
     sp = np.asarray(spacing, np.float32)
     edge_map = {}
     verts = []
+    vert_values = []
     faces = []
     edge_keys = []
 
@@ -421,6 +452,7 @@ def _mc_python_cubes_active(cube_idx, corner_vals, dims, level, spacing,
         p = (ca + np.float32(t) * (cb - ca)) * sp
         edge_map[key] = len(verts)
         verts.append(p)
+        vert_values.append(max(va, vb))
         edge_keys.append(key)
         return edge_map[key]
 
@@ -455,10 +487,12 @@ def _mc_python_cubes_active(cube_idx, corner_vals, dims, level, spacing,
                 faces.append((a, b, c))
 
     if not verts:
-        out = (np.zeros((0, 3), np.float32), np.zeros((0, 3), np.int64))
+        out = (np.zeros((0, 3), np.float32), np.zeros((0, 3), np.int64),
+               np.zeros((0,), np.float32))
         return out + ([],) if return_edges else out
     out = (np.asarray(verts, np.float32),
-           np.asarray(faces, np.int64).reshape(-1, 3))
+           np.asarray(faces, np.int64).reshape(-1, 3),
+           np.asarray(vert_values, np.float32))
     return out + (edge_keys,) if return_edges else out
 
 
@@ -564,7 +598,8 @@ def _mc_numpy(vol, level, spacing, ascent):
     # drop degenerate triangles (two corners welded to the same vertex)
     ok = ((faces[:, 0] != faces[:, 1]) & (faces[:, 1] != faces[:, 2])
           & (faces[:, 0] != faces[:, 2]))
-    return verts.astype(np.float32), faces[ok]
+    values = np.maximum(va, vb).astype(np.float32)
+    return verts.astype(np.float32), faces[ok], values
 
 
 def _vertex_normals_from_gradient(vol, verts, spacing):
@@ -598,17 +633,18 @@ def marching_cubes(volume: np.ndarray, level: float,
             f"[{volume.min()}, {volume.max()}]")
     ascent = gradient_direction == "ascent"
     if _load_lib() is not None:
-        verts, faces = _mc_native(volume, level, spacing, ascent, method)
+        verts, faces, values = _mc_native(
+            volume, level, spacing, ascent, method)
     elif method == "cubes":
-        verts, faces = _mc_python_cubes(volume, level, spacing, ascent)
+        verts, faces, values = _mc_python_cubes(
+            volume, level, spacing, ascent)
     else:
-        verts, faces = _mc_numpy(volume, level, spacing, ascent)
+        verts, faces, values = _mc_numpy(volume, level, spacing, ascent)
     if len(verts) == 0:
         raise ValueError("no surface found at given iso level")
     normals = _vertex_normals_from_gradient(volume, verts, spacing)
     if ascent:
         normals = -normals  # skimage: normals point toward gradient descent
-    values = np.full((len(verts),), level, np.float32)
     return verts, faces, normals, values
 
 

@@ -143,6 +143,17 @@ def test_predict_outputs(predict_run):
     for arr in ("verts", "faces", "normals", "volume_value",
                 "volume_gradient_magnitude", "warp_field"):
         assert arr in mc, arr
+    # volume_value is the TRUE per-vertex WNF gather (skimage `values`
+    # semantics — max over the crossing edge's endpoints, so >= iso level),
+    # not a constant fill (reference stores skimage's output,
+    # predict.py:195-197)
+    vv = mc["volume_value"][:]
+    if len(mc["verts"][:]) > 1:  # non-null sample
+        # 8-corner local max: every active cube has an inside corner with
+        # value > level (side-preserving int8 quantization), so each vertex
+        # value sits at/above the level up to f16 rounding
+        assert np.all(vv >= 0.5 - 5e-3), vv.min()
+        assert vv.std() > 0  # a real field gather, not a fill
     pc = g["point_cloud"]
     assert pc["pred_nocs"].shape == (256, 3)
     assert pc["input_rgb"].dtype == np.uint8

@@ -38,8 +38,8 @@ def test_native_and_numpy_agree_tetrahedra():
     vol = _sphere_volume(16)
     sp = (1 / 15,) * 3
     from garmentnets_tpu.ops.marching_cubes import _mc_native
-    v1, f1 = _mc_native(vol, 0.0, sp, True, method="tetrahedra")
-    v2, f2 = _mc_numpy(vol, 0.0, sp, True)
+    v1, f1, _ = _mc_native(vol, 0.0, sp, True, method="tetrahedra")
+    v2, f2, _ = _mc_numpy(vol, 0.0, sp, True)
     assert len(v1) == len(v2)
     assert len(f1) == len(f2)
     # same welded vertex sets (ordering may differ)
@@ -57,9 +57,17 @@ def test_native_and_python_agree_cubes():
     for vol in (_sphere_volume(16),
                 rng.rand(9, 10, 11).astype(np.float32) - 0.5):
         sp = (0.1, 0.11, 0.12)
-        v1, f1 = _mc_native(vol, 0.0, sp, True, method="cubes")
-        v2, f2 = _mc_python_cubes(vol, 0.0, sp, True)
+        v1, f1, val1 = _mc_native(vol, 0.0, sp, True, method="cubes")
+        v2, f2, val2 = _mc_python_cubes(vol, 0.0, sp, True)
         assert len(v1) == len(v2) and len(f1) == len(f2)
+        # per-vertex values agree between native and python (same welded
+        # vertex set; compare as position->value maps since order differs)
+        m1 = {t: round(float(x), 5)
+              for t, x in zip(map(tuple, np.round(v1, 5)), val1)}
+        m2 = {t: round(float(x), 5)
+              for t, x in zip(map(tuple, np.round(v2, 5)), val2)}
+        assert m1 == m2
+        assert (val1 >= 0.0).all()  # edge max is >= level for crossings
         s1 = set(map(tuple, np.round(v1, 5)))
         s2 = set(map(tuple, np.round(v2, 5)))
         assert s1 == s2

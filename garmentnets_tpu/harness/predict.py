@@ -26,7 +26,7 @@ import numpy as np
 from garmentnets_tpu.core import config as config_mod
 from garmentnets_tpu.core.checkpoint import load_checkpoint
 from garmentnets_tpu.core.builders import pipeline_config_from_hparams
-from garmentnets_tpu.core.logging import RunLogger
+from garmentnets_tpu.core.logging import make_logger
 from garmentnets_tpu.data import zarrlite
 from garmentnets_tpu.data.dataset import ConvImplicitWNFDataModule
 from garmentnets_tpu.harness.predict_engine import PredictEngine
@@ -141,7 +141,7 @@ def process_item(engine, enc_np, item, batch_np, input_group, output_group,
 
 def main(cfg, run_dir=None) -> pathlib.Path:
     run_dir = config_mod.make_run_dir(run_dir=run_dir)
-    logger = RunLogger(run_dir)
+    logger = make_logger(run_dir, cfg.get("logger"))
 
     checkpoint_path = pathlib.Path(cfg["main"]["checkpoint_path"]).expanduser()
     assert checkpoint_path.exists(), checkpoint_path

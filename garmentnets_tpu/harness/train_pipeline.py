@@ -61,7 +61,8 @@ def main(cfg, run_dir=None):
         num_devices=trainer_cfg.get("num_devices", -1),
         limit_train_batches=trainer_cfg.get("limit_train_batches"),
         limit_val_batches=trainer_cfg.get("limit_val_batches"),
-        profile_epochs=trainer_cfg.get("profile_epochs", 0))
+        profile_epochs=trainer_cfg.get("profile_epochs", 0),
+        logger_cfg=cfg.get("logger"))
 
     init_state, train_step, eval_step = make_train_fns(
         init_fn, apply_fn, loss_fn, pipe_cfg.learning_rate, trainer.mesh)

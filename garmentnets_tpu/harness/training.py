@@ -20,7 +20,7 @@ import jax.numpy as jnp
 import optax
 
 from garmentnets_tpu.core.checkpoint import TopKCheckpointManager
-from garmentnets_tpu.core.logging import RunLogger
+from garmentnets_tpu.core.logging import RunLogger, make_logger
 from garmentnets_tpu.parallel.mesh import (
     make_mesh, shard_batch, replicate_tree, pad_batch_to)
 
@@ -139,14 +139,17 @@ class Trainer:
                  num_devices: int = -1,
                  limit_train_batches: Optional[int] = None,
                  limit_val_batches: Optional[int] = None,
-                 seed: int = 0, profile_epochs: int = 0):
+                 seed: int = 0, profile_epochs: int = 0,
+                 logger_cfg: Optional[dict] = None):
         self.max_epochs = max_epochs
         self.run_dir = run_dir
         self.mesh = make_mesh(num_devices)
         self.n_dev = self.mesh.devices.size
         self.ckpt = TopKCheckpointManager(
             f"{run_dir}/checkpoints", k=checkpoint_top_k)
-        self.logger = RunLogger(run_dir)
+        # backend selected by the config's `logger:` block (local default,
+        # wandb adapter available — reference train_pointnet2.py:30)
+        self.logger = make_logger(run_dir, logger_cfg)
         self.limit_train_batches = limit_train_batches
         self.limit_val_batches = limit_val_batches
         self.seed = seed

@@ -54,7 +54,15 @@ def _pallas_fps_available() -> bool:
                 jax.block_until_ready(furthest_point_sampling_pallas(
                     jnp.zeros((1, 256, 3), jnp.float32), 128))
                 _FPS_USE_PALLAS = True
-            except Exception:
+            except Exception as e:
+                # a Pallas regression on the real chip would otherwise be
+                # silent (XLA fallback only shows as a perf drop) — say WHY
+                # the probe failed so it's visible in logs/CI output
+                import logging
+                logging.getLogger(__name__).warning(
+                    "Pallas FPS probe failed on backend %r — falling back "
+                    "to XLA FPS (set GARMENTNETS_FPS=pallas to raise "
+                    "instead): %r", jax.default_backend(), e)
                 _FPS_USE_PALLAS = False
     return _FPS_USE_PALLAS
 

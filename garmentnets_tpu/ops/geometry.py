@@ -217,16 +217,72 @@ def connected_components(faces: np.ndarray, num_verts: int
     return n, labels, sizes
 
 
+_HAUSDORFF_LIB = None
+_HAUSDORFF_FAILED = False
+
+
+def _load_hausdorff_lib():
+    """On-demand g++ build of ops/cpp/hausdorff.cpp (same pattern as the
+    marching-cubes kernel); None when no toolchain is available."""
+    global _HAUSDORFF_LIB, _HAUSDORFF_FAILED
+    if _HAUSDORFF_LIB is not None or _HAUSDORFF_FAILED:
+        return _HAUSDORFF_LIB
+    import ctypes
+    import pathlib
+    import subprocess
+    cpp_dir = pathlib.Path(__file__).parent / "cpp"
+    so = cpp_dir / "libhausdorff.so"
+    src = cpp_dir / "hausdorff.cpp"
+    try:
+        if not so.exists() or so.stat().st_mtime < src.stat().st_mtime:
+            subprocess.run(
+                ["g++", "-O3", "-shared", "-fPIC", "-o", str(so), str(src)],
+                check=True, capture_output=True)
+        lib = ctypes.CDLL(str(so))
+        lib.mesh_hausdorff_exact.restype = ctypes.c_double
+        lib.mesh_hausdorff_exact.argtypes = [
+            ctypes.POINTER(ctypes.c_double), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_double), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
+        ]
+        _HAUSDORFF_LIB = lib
+    except Exception:
+        _HAUSDORFF_FAILED = True
+    return _HAUSDORFF_LIB
+
+
 def mesh_hausdorff(va: np.ndarray, fa: np.ndarray,
                    vb: np.ndarray, fb: np.ndarray,
                    num_samples: int = 20000, seed: int = 0) -> float:
-    """Symmetric Hausdorff distance between two triangle meshes.
+    """Symmetric Hausdorff distance between two triangle meshes, with
+    igl.hausdorff's exact semantics (reference eval.py:569): the max over
+    VERTICES of either mesh of the exact point-to-triangle-mesh distance to
+    the other (igl's definition — itself a lower bound of the true
+    surface-to-surface Hausdorff distance).
 
-    igl.hausdorff replacement (reference eval.py:569): point-sampled
+    Default path: the C++ helper (ops/cpp/hausdorff.cpp, AABB tree + exact
+    closest-point-on-triangle), bit-matching igl's metric definition.
+    Fallback when no g++ toolchain is available: point-sampled
     approximation — max over (sampled+vertex) points of either mesh of the
-    distance to the other mesh's sample set. Converges to the true value as
-    num_samples grows; adequate for the eval harness's ranking use.
+    distance to the other mesh's sample set; num_samples/seed apply to the
+    fallback only.
     """
+    lib = _load_hausdorff_lib()
+    if lib is not None:
+        import ctypes
+        va64 = np.ascontiguousarray(va, np.float64)
+        vb64 = np.ascontiguousarray(vb, np.float64)
+        fa32 = np.ascontiguousarray(fa, np.int32).reshape(-1, 3)
+        fb32 = np.ascontiguousarray(fb, np.int32).reshape(-1, 3)
+        dp = ctypes.POINTER(ctypes.c_double)
+        ip = ctypes.POINTER(ctypes.c_int32)
+        return float(lib.mesh_hausdorff_exact(
+            va64.ctypes.data_as(dp), len(va64),
+            fa32.ctypes.data_as(ip), len(fa32),
+            vb64.ctypes.data_as(dp), len(vb64),
+            fb32.ctypes.data_as(ip), len(fb32)))
+
     from scipy.spatial import cKDTree
 
     def point_set(v, f, s):

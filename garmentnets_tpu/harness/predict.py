@@ -120,7 +120,13 @@ def process_item(engine, enc_np, item, batch_np, input_group, output_group,
     bins = global_logits.shape[-1] // 3
     gb = global_logits.reshape(bins, 3)
     grip_bin = np.argmax(gb, axis=0)
-    pred_grip = grip_bin.astype(np.float32) / (bins - 1)
+    # REFERENCE QUIRK preserved for output/metric parity: predict.py:145
+    # builds its VirtualGrid with grid_shape=(volume_size,)*3 — the 128^3
+    # PREDICTION grid, not the 64-bin NOCS grid — so idxs_to_points scales
+    # the argmax bin by 1/(volume_size-1), NOT the training-consistent
+    # 1/(bins-1). eval's grip_point_*_global metrics consume this value
+    # (reference eval.py:152,163), so we reproduce the same mapping.
+    pred_grip = grip_bin.astype(np.float32) / (pred_cfg["volume_size"] - 1)
     eg = np.exp(gb - gb.max(axis=0, keepdims=True))
     grip_conf = eg / eg.sum(axis=0, keepdims=True)
 

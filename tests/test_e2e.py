@@ -158,6 +158,14 @@ def test_predict_outputs(predict_run):
     assert pc["pred_nocs"].shape == (256, 3)
     assert pc["input_rgb"].dtype == np.uint8
     assert g["misc/global_feature"].shape == (1024,)
+    # reference quirk preserved: the global grip point maps argmax bins
+    # through a VirtualGrid of the PREDICTION volume (reference
+    # predict.py:145,262) — bin/(volume_size-1), so with 8 bins on a 16^3
+    # prediction grid every coordinate is <= 7/15
+    grip = g["misc/pred_global_nocs_grip_point"][:]
+    assert grip.shape == (3,)
+    assert (grip <= 7 / 15 + 1e-6).all() and (grip >= 0).all()
+    assert np.allclose(grip * 15, np.round(grip * 15), atol=1e-5)
     # config snapshot written for eval consumption
     assert (predict_run / "config.yaml").exists()
 

@@ -144,7 +144,9 @@ class ConvImplicitWNFDataset:
         if self.num_volume_sample > 0:
             vg = group["volume"][self.volume_group]
             raw_volume = vg[str(self.volume_size)][:]
-            volume = raw_volume.astype(np.float32)
+            # copy=False: the zarr read already owns fresh memory, and the
+            # 8.4 MB no-op astype copy was measured input-pipeline overhead
+            volume = raw_volume.astype(np.float32, copy=False)
             if self.tsdf_clip_value is not None:
                 volume = np.clip(volume / self.tsdf_clip_value, -1, 1)
             if self.volume_absolute_value:

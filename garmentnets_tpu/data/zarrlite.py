@@ -122,7 +122,14 @@ class Array:
         buf = fname.read_bytes()
         if self._codec is not None:
             buf = _CODECS[self._codec[0]][1](buf, self._codec[1])
-        return np.frombuffer(buf, self.dtype).reshape(cshape).copy()
+        arr = np.frombuffer(buf, self.dtype)
+        if not arr.flags.writeable:
+            # bytes-backed (uncompressed file / pure-Python codec): copy to
+            # own the memory. Codec paths returning writable buffers (the
+            # c-blosc decode-into-np.empty path) skip the copy — the full
+            # 8.4 MB GT-volume chunk was being copied 3x per read before.
+            arr = arr.copy()
+        return arr.reshape(cshape)
 
     def __getitem__(self, key):
         return self._full()[key]
@@ -136,6 +143,15 @@ class Array:
             return buf.reshape(()).copy()
         grid = [
             -(-s // c) for s, c in zip(self.shape, self.chunks)]
+        if all(g == 1 for g in grid):
+            # single-chunk array (the common case for this dataset's
+            # arrays, incl. the 128^3 GT volume): return the freshly
+            # decoded chunk directly instead of copying it into `out`
+            chunk = self._read_chunk((0,) * self.ndim)
+            if chunk.shape == tuple(self.shape):
+                return chunk
+            return np.ascontiguousarray(
+                chunk[tuple(slice(0, s) for s in self.shape)])
         for cidx in np.ndindex(*grid):
             chunk = self._read_chunk(cidx)
             sel = tuple(

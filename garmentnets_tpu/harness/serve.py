@@ -172,16 +172,38 @@ class PredictService:
 
     def _dispatch_loop(self):
         # device/host pipelining: encode(i+1) is dispatched while batch i's
-        # host marching cubes runs — same overlap as the predict CLI
+        # host marching cubes runs — same overlap as the predict CLI.
+        # Per-batch exception isolation: a failing batch reports an error
+        # result to ITS waiters (instead of hanging them until timeout) and
+        # the dispatcher keeps serving.
         pending = None  # (enc, jobs)
         while not self._stop.is_set():
             jobs = self._take_batch()
-            nxt = (self._encode_jobs(jobs), jobs) if jobs else None
+            nxt = None
+            if jobs:
+                try:
+                    nxt = (self._encode_jobs(jobs), jobs)
+                except Exception as e:  # noqa: BLE001
+                    self._fail_jobs(jobs, e)
             if pending is not None:
-                self._finalize(*pending)
+                self._finalize_safe(*pending)
             pending = nxt
         if pending is not None:
-            self._finalize(*pending)
+            self._finalize_safe(*pending)
+
+    def _finalize_safe(self, enc, jobs):
+        try:
+            self._finalize(enc, jobs)
+        except Exception as e:  # noqa: BLE001
+            self._fail_jobs(jobs, e)
+
+    @staticmethod
+    def _fail_jobs(jobs, exc):
+        for job in jobs:
+            if not job.event.is_set():
+                job.result = {"ok": np.int32(0),
+                              "error": np.bytes_(repr(exc).encode())}
+                job.event.set()
 
     def _finalize(self, enc, jobs):
         """Host marching cubes + batched warp, then wake the waiters."""

@@ -134,6 +134,24 @@ def test_http_roundtrip(service):
         httpd.shutdown()
 
 
+def test_batch_failure_isolated(service, monkeypatch):
+    """An exception inside a device batch reports an error result to its
+    waiters (no hang) and the dispatcher keeps serving later requests."""
+    orig = service.engine.encode
+
+    def boom(x, pos):
+        raise RuntimeError("injected device failure")
+
+    monkeypatch.setattr(service.engine, "encode", boom)
+    batch = graft._make_batch(B=1, N=512, seed=11)
+    (r,) = service.submit(batch["x"], batch["pos"], timeout=60)
+    assert int(r["ok"]) == 0
+    assert b"injected device failure" in bytes(r["error"])
+    monkeypatch.setattr(service.engine, "encode", orig)
+    (r2,) = service.submit(batch["x"], batch["pos"], timeout=60)
+    _result_ok(r2)
+
+
 def test_http_bad_request(service):
     from garmentnets_tpu.harness.serve import make_http_server
     from urllib.request import Request

@@ -152,6 +152,27 @@ def test_batch_failure_isolated(service, monkeypatch):
     _result_ok(r2)
 
 
+def test_service_with_device_mesh(tiny_ckpt):
+    """The service composes with a batch-sharded device mesh (engine DP) —
+    production serving on a multi-chip host shards each device batch."""
+    import jax
+    import numpy as np
+    from jax.sharding import Mesh
+    from garmentnets_tpu.harness.serve import PredictService
+    mesh = Mesh(np.asarray(jax.devices()[:4]), ("data",))
+    svc = PredictService(tiny_ckpt, batch_size=4, num_points=512,
+                         volume_size=16, mesh=mesh,
+                         engine_kwargs={"warp_bucket": 64})
+    try:
+        batch = graft._make_batch(B=2, N=512, seed=5)
+        results = svc.submit(batch["x"], batch["pos"])
+        assert len(results) == 2
+        for r in results:
+            _result_ok(r)
+    finally:
+        svc.close()
+
+
 def test_http_bad_request(service):
     from garmentnets_tpu.harness.serve import make_http_server
     from urllib.request import Request

@@ -23,8 +23,11 @@ _LAZY = {
     "ConvImplicitWNFDataset": "garmentnets_tpu.data.dataset",
     "Loader": "garmentnets_tpu.data.dataset",
     "PredictEngine": "garmentnets_tpu.harness.predict_engine",
+    "PredictService": "garmentnets_tpu.harness.serve",
+    "predict_remote": "garmentnets_tpu.harness.serve",
     "Trainer": "garmentnets_tpu.harness.training",
     "make_train_fns": "garmentnets_tpu.harness.training",
+    "make_logger": "garmentnets_tpu.core.logging",
     "zarrlite": "garmentnets_tpu.data",
 }
 

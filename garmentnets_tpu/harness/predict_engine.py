@@ -119,11 +119,15 @@ class PredictEngine:
         # slab width for the dense decode's D-axis loop: largest of 8/4/2/1
         # dividing the volume, further constrained so the slab count divides
         # the mesh's 'space' axis when spatial sharding is active (each
-        # device must own a whole number of slabs)
+        # device must own a whole number of slabs).
+        # GARMENTNETS_DECODE_SLAB overrides for on-chip tuning experiments.
         n_space = (mesh.shape["space"]
                    if mesh is not None and "space" in mesh.axis_names else 1)
+        import os
+        forced = os.environ.get("GARMENTNETS_DECODE_SLAB")
+        slab_choices = (int(forced),) if forced else (8, 4, 2, 1)
         self._slab = next(
-            s for s in (8, 4, 2, 1)
+            s for s in slab_choices
             if volume_size % s == 0 and (volume_size // s) % n_space == 0)
         self._encode = jax.jit(self._encode_impl)
         self._warp = jax.jit(self._warp_impl)

@@ -171,12 +171,18 @@ class PredictService:
         return enc
 
     def _dispatch_loop(self):
-        # device/host pipelining: encode(i+1) is dispatched while batch i's
-        # host marching cubes runs — same overlap as the predict CLI.
+        # Same pipeline shape as the predict CLI: encode(i+1) is dispatched
+        # before batch i's host marching cubes, and warp results are
+        # collected one batch later (depth-2), giving the result transfer a
+        # full iteration to stream over the link. When traffic pauses
+        # (take_batch comes back empty) everything in flight is drained, so
+        # idle-arrival latency stays one batch, not two.
         # Per-batch exception isolation: a failing batch reports an error
         # result to ITS waiters (instead of hanging them until timeout) and
         # the dispatcher keeps serving.
-        pending = None  # (enc, jobs)
+        import collections
+        pending = None                  # (enc, jobs) awaiting extract+warp
+        inflight = collections.deque()  # (handle, jobs, enc, meshes)
         while not self._stop.is_set():
             jobs = self._take_batch()
             nxt = None
@@ -186,10 +192,30 @@ class PredictService:
                 except Exception as e:  # noqa: BLE001
                     self._fail_jobs(jobs, e)
             if pending is not None:
-                self._finalize_safe(*pending)
+                enc, pjobs = pending
+                try:
+                    meshes = self.engine.extract_meshes(enc)
+                    handle = self.engine.warp_dispatch(enc, meshes)
+                    inflight.append((handle, pjobs, enc, meshes))
+                except Exception as e:  # noqa: BLE001
+                    self._fail_jobs(pjobs, e)
+                while len(inflight) > 1:
+                    self._collect_safe(*inflight.popleft())
             pending = nxt
+            if nxt is None:
+                while inflight:      # traffic pause: don't sit on results
+                    self._collect_safe(*inflight.popleft())
         if pending is not None:
             self._finalize_safe(*pending)
+        while inflight:
+            self._collect_safe(*inflight.popleft())
+
+    def _collect_safe(self, handle, jobs, enc, meshes):
+        try:
+            warps = self.engine.warp_collect(handle)
+            self._publish(enc, jobs, meshes, warps)
+        except Exception as e:  # noqa: BLE001
+            self._fail_jobs(jobs, e)
 
     def _finalize_safe(self, enc, jobs):
         try:
@@ -210,6 +236,9 @@ class PredictService:
         eng = self.engine
         meshes = eng.extract_meshes(enc)
         warps = eng.warp_batch(enc, meshes)
+        self._publish(enc, jobs, meshes, warps)
+
+    def _publish(self, enc, jobs, meshes, warps):
         pred_nocs = np.asarray(enc["pred_nocs"])
         pred_conf = np.asarray(enc["pred_nocs_confidence"], np.float32)
         self.stats["batches"] += 1

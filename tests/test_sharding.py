@@ -22,6 +22,26 @@ def test_dryrun_multichip_2():
     graft.dryrun_multichip(2)
 
 
+def test_engine_pins_weights_on_device():
+    """Checkpoint loading hands numpy weight trees; the engine must
+    device_put them ONCE at construction — passing numpy into the jitted
+    programs re-uploads every parameter per call (measured 778 vs 210
+    ms/batch through the device tunnel, docs/PERF.md 'Serving')."""
+    import numpy as np
+    import jax
+    from garmentnets_tpu.harness.predict_engine import PredictEngine
+    from garmentnets_tpu.models.pipeline import ConvImplicitWNFPipeline
+
+    cfg = graft._small_cfg()
+    model = ConvImplicitWNFPipeline(cfg)
+    batch = graft._make_batch(B=2)
+    variables = model.init(jax.random.PRNGKey(0), batch, train=False)
+    host_vars = jax.tree_util.tree_map(np.asarray, variables)  # numpy tree
+    engine = PredictEngine(cfg, host_vars, volume_size=16, warp_bucket=64)
+    leaves = jax.tree_util.tree_leaves(engine.variables)
+    assert leaves and all(isinstance(x, jax.Array) for x in leaves)
+
+
 def test_predict_engine_sharded():
     """Batched predict engine over a 4-device mesh: batch axis sharded."""
     from jax.sharding import Mesh

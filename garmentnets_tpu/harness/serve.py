@@ -324,11 +324,14 @@ def predict_remote(url: str, x: np.ndarray, pos: np.ndarray) -> list:
                   headers={"Content-Type": "application/octet-stream"})
     with urlopen(req) as resp:
         flat = decode_npz(resp.read())
-    out = []
-    for i in range(int(flat["count"])):
-        suffix = f"_{i}"
-        out.append({k[: -len(suffix)]: v for k, v in flat.items()
-                    if k.endswith(suffix) and k != "count"})
+    out = [dict() for _ in range(int(flat["count"]))]
+    for k, v in flat.items():
+        if k == "count":
+            continue
+        # exact index parse (a suffix test would conflate item 1 with
+        # item 11 in batches of more than ten garments)
+        name, idx = k.rsplit("_", 1)
+        out[int(idx)][name] = v
     return out
 
 

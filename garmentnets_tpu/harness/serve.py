@@ -105,11 +105,41 @@ class PredictService:
             **(engine_kwargs or {}))
         self._queue: "queue.Queue[_Job]" = queue.Queue()
         self._stop = threading.Event()
+        self._pending_variables = None   # hot-reload staging (lock-guarded)
+        self._reload_lock = threading.Lock()
         self.stats = {"requests": 0, "garments": 0, "batches": 0,
-                      "started": time.time()}
+                      "reloads": 0, "started": time.time()}
         self._thread = threading.Thread(target=self._dispatch_loop,
                                         daemon=True, name="gn-dispatcher")
         self._thread.start()
+
+    def reload_checkpoint(self, checkpoint_path):
+        """Hot-swap the model weights without restarting the service.
+
+        The new checkpoint must have the SAME architecture (its embedded
+        hparams must build an identical PipelineConfig) so the jitted
+        programs are reused without recompiling — the production rollout
+        path for a retrained model. The swap is applied by the dispatcher
+        BETWEEN device batches; in-flight batches finish on the old
+        weights."""
+        import jax
+        from garmentnets_tpu.harness.predict import load_pipeline_checkpoint
+        cfg, variables = load_pipeline_checkpoint(checkpoint_path)
+        if cfg != self.cfg:
+            raise ValueError(
+                "hot-reload requires an architecture-identical checkpoint "
+                f"(got {cfg} vs serving {self.cfg}); restart the service "
+                "for architecture changes")
+        variables = jax.device_put(variables)
+        with self._reload_lock:
+            self._pending_variables = variables
+
+    def _maybe_apply_reload(self):
+        with self._reload_lock:
+            pending, self._pending_variables = self._pending_variables, None
+        if pending is not None:
+            self.engine.variables = pending
+            self.stats["reloads"] += 1
 
     # -- client-facing ---------------------------------------------------
     def submit(self, x: np.ndarray, pos: np.ndarray, timeout: float = 300.0
@@ -185,6 +215,20 @@ class PredictService:
         inflight = collections.deque()  # (handle, jobs, enc, meshes)
         while not self._stop.is_set():
             jobs = self._take_batch()
+            if self._pending_variables is not None:
+                # swap weights only with an EMPTY pipeline: a batch's warp
+                # program must run against the same weights as its encode
+                # (self.variables is read at both dispatches) — so drain
+                # everything in flight first, then apply. Checked AFTER
+                # take_batch so a reload staged while the dispatcher waits
+                # applies before the batch that arrived with it. One-batch
+                # hiccup, no restart.
+                if pending is not None:
+                    self._finalize_safe(*pending)
+                    pending = None
+                while inflight:
+                    self._collect_safe(*inflight.popleft())
+                self._maybe_apply_reload()
             nxt = None
             if jobs:
                 try:

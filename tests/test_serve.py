@@ -152,6 +152,50 @@ def test_batch_failure_isolated(service, monkeypatch):
     _result_ok(r2)
 
 
+def test_checkpoint_hot_reload(tiny_ckpt, service, tmp_path):
+    """reload_checkpoint swaps weights between batches without restart:
+    outputs change, the service keeps serving, and an architecture
+    mismatch is rejected."""
+    import jax
+    from garmentnets_tpu.core.checkpoint import (
+        load_checkpoint, save_checkpoint)
+    from garmentnets_tpu.core.builders import pipeline_hparams
+
+    batch = graft._make_batch(B=1, N=512, seed=21)
+    (before,) = service.submit(batch["x"], batch["pos"])
+
+    # perturbed-weights checkpoint with identical architecture
+    state, hparams = load_checkpoint(tiny_ckpt)
+    state2 = jax.tree_util.tree_map(lambda a: a * 1.5, state["params"])
+    p2 = tmp_path / "v2.ckpt"
+    save_checkpoint(p2, {"params": state2,
+                         "batch_stats": state["batch_stats"], "step": 1},
+                    hparams=hparams)
+    service.reload_checkpoint(p2)
+    (after,) = service.submit(batch["x"], batch["pos"])
+    assert service.stats["reloads"] == 1
+    # scaled weights shift the softmax confidences (argmax-derived NOCS
+    # positions may legitimately survive a monotone rescale)
+    assert not np.allclose(before["pred_nocs_confidence"],
+                           after["pred_nocs_confidence"])
+
+    # architecture mismatch is rejected up front
+    cfg2 = graft._small_cfg()
+    object.__setattr__(cfg2, "unet_f_maps", 8)
+    from garmentnets_tpu.core.builders import pipeline_hparams as ph
+    p3 = tmp_path / "bad.ckpt"
+    save_checkpoint(p3, {"params": state["params"],
+                         "batch_stats": state["batch_stats"], "step": 0},
+                    hparams=ph(cfg2))
+    with pytest.raises(ValueError, match="architecture-identical"):
+        service.reload_checkpoint(p3)
+    # restore original weights for any later test using the fixture
+    service.reload_checkpoint(tiny_ckpt)
+    (restored,) = service.submit(batch["x"], batch["pos"])
+    np.testing.assert_allclose(restored["pred_nocs_confidence"],
+                               before["pred_nocs_confidence"], atol=1e-6)
+
+
 def test_service_with_device_mesh(tiny_ckpt):
     """The service composes with a batch-sharded device mesh (engine DP) —
     production serving on a multi-chip host shards each device batch."""

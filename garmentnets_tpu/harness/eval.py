@@ -141,6 +141,15 @@ def main(cfg, run_dir=None) -> pathlib.Path:
         json.dump({k: float(v) for k, v in all_metrics_agg.items()},
                   f, indent=2)
 
+    # pluggable metrics backend (reference logs the eval summary to wandb,
+    # eval.py:885,1041-1046): the local JSONL/summary artifacts are written
+    # either way; `logger.backend: wandb` mirrors the aggregates remotely
+    from garmentnets_tpu.core.logging import make_logger
+    logger = make_logger(run_dir, cfg.get("logger"))
+    logger.log({k: float(v) for k, v in all_metrics_agg.items()}, step=0)
+    logger.summary.update(
+        {k: float(v) for k, v in all_metrics_agg.items()})
+
     # best/worst/regular 3D visualizations (reference eval.py:1052-1096;
     # PLY files instead of wandb.Object3D)
     vis_cfg = dict(cfg.get("vis", {}))
@@ -182,6 +191,7 @@ def main(cfg, run_dir=None) -> pathlib.Path:
                 pts = func(sample_key, samples_group, **metric_args)
                 write_ply_points(
                     vis_dir / f"{func_key}_{tag}.ply", pts)
+    logger.close()
     return run_dir
 
 

@@ -67,6 +67,71 @@ def make_cloth_mesh(res: int = 12, rng: np.random.RandomState | None = None,
     return nocs_verts, faces
 
 
+def make_tube_mesh(res: int = 12, rng: np.random.RandomState | None = None,
+                   thickness: float = 0.06):
+    """Skirt-like closed tube shell in NOCS space: a second garment
+    CATEGORY with a different topology than the cloth slab (genus-1 tube
+    vs flat sheet), exercising category-level generality the way the
+    reference's 6 CLOTH3D categories do. Outer wall with a wavy radius
+    profile, inner wall offset by `thickness`, stitched by top/bottom cap
+    rings into a closed surface (WNF ~1 inside the wall material).
+    """
+    rng = rng or np.random.RandomState(0)
+    nz = res
+    ntheta = max(8, res)
+    z = np.linspace(0.15, 0.85, nz)
+    theta = np.arange(ntheta) / ntheta * 2 * np.pi
+    zz, tt = np.meshgrid(z, theta, indexing="ij")
+    # radius flares toward the hem, with a gentle angular wave
+    base_r = 0.16 + 0.14 * (0.85 - zz) / 0.7
+    wave = 1.0 + (0.05 + 0.05 * rng.rand()) * np.sin(
+        3 * tt + rng.rand() * np.pi)
+    r_out = base_r * wave
+    r_in = r_out - thickness
+
+    def ring_pts(r):
+        return np.stack([0.5 + r * np.cos(tt), 0.5 + r * np.sin(tt), zz],
+                        axis=-1).reshape(-1, 3)
+
+    outer = ring_pts(r_out)
+    inner = ring_pts(r_in)
+    nocs_verts = np.concatenate([outer, inner]).astype(np.float32)
+    n = nz * ntheta
+
+    def vid(i, j, inner_wall=False):
+        return (n if inner_wall else 0) + i * ntheta + (j % ntheta)
+
+    quads = []
+    for i in range(nz - 1):
+        for j in range(ntheta):
+            quads.append([vid(i, j), vid(i, j + 1),
+                          vid(i + 1, j + 1), vid(i + 1, j)])        # outer
+            quads.append([vid(i, j, True), vid(i + 1, j, True),
+                          vid(i + 1, j + 1, True), vid(i, j + 1, True)])
+    for j in range(ntheta):  # caps stitch outer<->inner at both ends
+        quads.append([vid(0, j), vid(0, j, True),
+                      vid(0, j + 1, True), vid(0, j + 1)])
+        quads.append([vid(nz - 1, j), vid(nz - 1, j + 1),
+                      vid(nz - 1, j + 1, True), vid(nz - 1, j, True)])
+    faces = geometry.quads2tris(np.asarray(quads, np.int64))
+    # orientation self-check: the winding number at a wall-interior point
+    # must be ~+1; flip all faces if this construction wound inward
+    probe = np.asarray([[0.5 + (r_out[0, 0] + r_in[0, 0]) / 2, 0.5,
+                         z[nz // 2]]], np.float32)
+    probe[0, 0] = 0.5 + (r_out[nz // 2, 0] + r_in[nz // 2, 0]) / 2
+    w = float(geometry.winding_number(
+        probe, nocs_verts, faces, backend="numpy")[0])
+    if w < 0:
+        faces = np.ascontiguousarray(faces[:, ::-1])
+    return nocs_verts, faces
+
+
+GARMENT_MAKERS = {
+    "SynthCloth": make_cloth_mesh,
+    "SynthSkirt": make_tube_mesh,
+}
+
+
 def deform_to_sim(nocs_verts: np.ndarray, grip_idx: int,
                   rng: np.random.RandomState, scale: float = 0.6):
     """Hang the cloth from grip vertex: gravity droop in gripper frame.
@@ -113,12 +178,17 @@ def generate_dataset(path, num_instances: int = 3, grips_per_instance: int = 2,
                      volume_size: int = 32, mesh_res: int = 12,
                      pts_per_view: int = 2000, num_views: int = 4,
                      seed: int = 0,
-                     include_task_space: bool = True) -> zarrlite.Group:
+                     include_task_space: bool = True,
+                     garment_types: tuple = ("SynthCloth",)
+                     ) -> zarrlite.Group:
     """Write a synthetic dataset zarr; returns the root group.
 
     include_task_space: also emit sim_nocs_winding_number_field (one
     volume_size^3 winding evaluation PER GRIP in a second pass); disable
-    for large volumes when only the canonical-space groups are needed."""
+    for large volumes when only the canonical-space groups are needed.
+    garment_types: categories to cycle through per instance (keys of
+    GARMENT_MAKERS — the reference trains per CLOTH3D category; pass
+    several for a mixed-category dataset)."""
     root = zarrlite.open(path, "w")
     samples = root.require_group("samples")
     rng = np.random.RandomState(seed)
@@ -126,7 +196,8 @@ def generate_dataset(path, num_instances: int = 3, grips_per_instance: int = 2,
     aabbs, nocs_aabbs = [], []
     sim_records = []
     for inst in range(num_instances):
-        nocs_verts, faces = make_cloth_mesh(mesh_res, rng)
+        garment_name = garment_types[inst % len(garment_types)]
+        nocs_verts, faces = GARMENT_MAKERS[garment_name](mesh_res, rng)
         # GT WNF volume of the canonical mesh (shared across grips)
         vg_axes = np.linspace(0, 1, volume_size, dtype=np.float32)
         qx, qy, qz = np.meshgrid(vg_axes, vg_axes, vg_axes, indexing="ij")
@@ -162,7 +233,7 @@ def generate_dataset(path, num_instances: int = 3, grips_per_instance: int = 2,
                 "scale": scale,
                 "gender": 0,
                 "sample_id": f"inst_{inst:05d}",
-                "garment_name": "SynthCloth",
+                "garment_name": garment_name,
                 "grip_vertex_idx": grip_idx,
             })
             pc = g.require_group("point_cloud")

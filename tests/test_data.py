@@ -154,3 +154,56 @@ def test_datamodule_split(synth_zarr):
         batch_size=2, dataset_split=[1, 1, 1], split_seed=0)
     dm2.prepare_data()
     np.testing.assert_array_equal(dm.train_idxs, dm2.train_idxs)
+
+
+def test_multi_category_generator(tmp_path):
+    """Second garment category (SynthSkirt tube topology): closed mesh,
+    meshable WNF, and mixed-category datasets load through the dataset."""
+    from garmentnets_tpu.data.synthetic import (
+        make_tube_mesh, generate_dataset, GARMENT_MAKERS)
+    from garmentnets_tpu.ops import geometry
+
+    verts, faces = make_tube_mesh(10, np.random.RandomState(3))
+    # closed 2-manifold: every edge shared by exactly 2 faces
+    e = np.concatenate([faces[:, [0, 1]], faces[:, [1, 2]], faces[:, [2, 0]]])
+    e.sort(axis=1)
+    key = e[:, 0].astype(np.int64) * (1 << 32) + e[:, 1]
+    _, counts = np.unique(key, return_counts=True)
+    assert set(counts.tolist()) == {2}
+    # WNF ~1 inside the wall, ~0 well outside, so the 0.5 iso crosses
+    inside = verts.mean(axis=0, keepdims=True)  # tube axis: OUTSIDE wall
+    w_axis = float(geometry.winding_number(
+        inside.astype(np.float32), verts, faces, backend="numpy")[0])
+    assert abs(w_axis) < 0.3  # hollow center is outside the material
+    # between the walls at mid-height (same i,theta on outer+inner rings)
+    n = len(verts) // 2
+    ntheta = n // 10
+    mid = (10 // 2) * ntheta
+    probe = 0.5 * (verts[mid] + verts[n + mid])
+    w_wall = float(geometry.winding_number(
+        probe[None].astype(np.float32), verts, faces, backend="numpy")[0])
+    assert w_wall > 0.7
+
+    path = tmp_path / "mixed.zarr"
+    generate_dataset(str(path), num_instances=2, grips_per_instance=1,
+                     volume_size=16, mesh_res=8, pts_per_view=300,
+                     garment_types=("SynthCloth", "SynthSkirt"))
+    root = zarrlite.open(str(path), "r")
+    names = {g.attrs.asdict()["garment_name"]
+             for _, g in root["samples"].groups()}
+    assert names == {"SynthCloth", "SynthSkirt"}
+    ds = ConvImplicitWNFDataset(
+        zarr_path=str(path), metadata_cache_dir=None, num_pc_sample=64,
+        num_volume_sample=16, num_surface_sample=16,
+        num_mc_surface_sample=0, surface_sample_ratio=0,
+        surface_sample_std=0.05, surface_normal_noise_ratio=0,
+        surface_normal_std=0.01, enable_augumentation=True,
+        random_rot_range=[-180, 180], num_views=4, pc_noise_std=0,
+        volume_size=16, volume_group="nocs_winding_number_field",
+        tsdf_clip_value=None, volume_absolute_value=False,
+        include_volume=False, static_epoch_seed=True)
+    for i in range(len(ds)):
+        s = ds[i]
+        assert np.isfinite(s["pos"]).all()
+        assert np.isfinite(s["gt_volume_value"]).all()
+    assert set(GARMENT_MAKERS) == {"SynthCloth", "SynthSkirt"}

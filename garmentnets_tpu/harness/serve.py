@@ -32,6 +32,7 @@ garment dicts.
 """
 from __future__ import annotations
 
+import collections
 import io
 import json
 import pathlib
@@ -210,7 +211,6 @@ class PredictService:
         # Per-batch exception isolation: a failing batch reports an error
         # result to ITS waiters (instead of hanging them until timeout) and
         # the dispatcher keeps serving.
-        import collections
         pending = None                  # (enc, jobs) awaiting extract+warp
         inflight = collections.deque()  # (handle, jobs, enc, meshes)
         while not self._stop.is_set():

@@ -115,10 +115,10 @@ def make_tube_mesh(res: int = 12, rng: np.random.RandomState | None = None,
                       vid(nz - 1, j + 1, True), vid(nz - 1, j, True)])
     faces = geometry.quads2tris(np.asarray(quads, np.int64))
     # orientation self-check: the winding number at a wall-interior point
-    # must be ~+1; flip all faces if this construction wound inward
-    probe = np.asarray([[0.5 + (r_out[0, 0] + r_in[0, 0]) / 2, 0.5,
-                         z[nz // 2]]], np.float32)
-    probe[0, 0] = 0.5 + (r_out[nz // 2, 0] + r_in[nz // 2, 0]) / 2
+    # (mid-height, between the outer and inner walls at theta=0) must be
+    # ~+1; flip all faces if this construction wound inward
+    mid_r = (r_out[nz // 2, 0] + r_in[nz // 2, 0]) / 2
+    probe = np.asarray([[0.5 + mid_r, 0.5, z[nz // 2]]], np.float32)
     w = float(geometry.winding_number(
         probe, nocs_verts, faces, backend="numpy")[0])
     if w < 0:

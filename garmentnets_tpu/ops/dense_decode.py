@@ -102,7 +102,8 @@ def _slab_plan(S: int, D: int, slab: int):
 
 def dense_decode(feature_volume: jax.Array, layers, volume_size: int,
                  slab: int = 4, precision=None,
-                 mesh=None, space_axis: str = "space") -> jax.Array:
+                 mesh=None, space_axis: str = "space",
+                 backend: str | None = None) -> jax.Array:
     """Evaluate an eval-mode PointMLP head on the dense lattice.
 
     feature_volume: [B, D, H, W, C]; layers: from eval_layers().
@@ -121,6 +122,20 @@ def dense_decode(feature_volume: jax.Array, layers, volume_size: int,
     """
     B, D, H, W, C = feature_volume.shape
     S = volume_size
+
+    # backend dispatch: 'xla' (this slab path; works everywhere, shards
+    # over a 'space' mesh axis) or 'pallas' (ops/dense_decode_pallas —
+    # fused VMEM kernel, single-device only). GARMENTNETS_DENSE_DECODE
+    # selects globally; explicit `backend` wins.
+    import os
+    backend = backend or os.environ.get("GARMENTNETS_DENSE_DECODE", "xla")
+    if backend == "pallas" and (mesh is None
+                                or space_axis not in mesh.axis_names):
+        from garmentnets_tpu.ops.dense_decode_pallas import (
+            dense_decode_fused)
+        return dense_decode_fused(feature_volume, layers, volume_size,
+                                  precision=precision)
+
     layers = [tuple(jnp.asarray(a) for a in lay) for lay in layers]
 
     # first affine at the coarse grid (commutes with interpolation)

@@ -164,3 +164,32 @@ def test_engine_roundtrip_small():
     # an untrained net may genuinely produce no crossing; only require
     # the pipeline to have run, not a surface to exist
     assert len(meshes) == 2 or got_any is not None
+
+
+def test_fused_dense_decode_on_chip():
+    """The fused Pallas decode (ops/dense_decode_pallas) must compile on
+    the real chip and agree with the XLA slab path at HIGHEST precision;
+    autodetect failures log their reason via fused_decode_available."""
+    import jax
+    import jax.numpy as jnp
+    from garmentnets_tpu.ops.dense_decode import dense_decode
+    from garmentnets_tpu.ops.dense_decode_pallas import (
+        dense_decode_fused, fused_decode_available)
+    ok, why = fused_decode_available()
+    assert ok, f"fused decode probe failed on the real chip: {why}"
+    rs = np.random.RandomState(0)
+    widths = (32, 64, 64, 1)
+    layers = []
+    for cin, cout in zip(widths[:-1], widths[1:]):
+        layers.append((
+            (rs.rand(cin, cout).astype(np.float32) - 0.5) / np.sqrt(cin),
+            rs.rand(cout).astype(np.float32) - 0.5,
+            0.5 + rs.rand(cout).astype(np.float32),
+            rs.rand(cout).astype(np.float32) - 0.5))
+    fv = jnp.asarray(rs.rand(2, 16, 16, 16, 32).astype(np.float32))
+    hi = jax.lax.Precision.HIGHEST
+    ref = np.asarray(jax.jit(lambda v: dense_decode(
+        v, layers, 64, slab=4, precision=hi))(fv))
+    out = np.asarray(jax.jit(lambda v: dense_decode_fused(
+        v, layers, 64, precision=hi))(fv))
+    np.testing.assert_allclose(out, ref, rtol=2e-5, atol=2e-6)

@@ -121,6 +121,22 @@ def main():
             err = float(np.max(np.abs(np.asarray(dd(fvt)) - wnf_ref)))
             res[f"dense_decode {name} max|err|"] = err
 
+    # --- fused Pallas decode (ops/dense_decode_pallas) at each precision ---
+    from garmentnets_tpu.ops.dense_decode_pallas import (
+        dense_decode_fused, fused_decode_available)
+    ok, why = fused_decode_available()
+    if not ok:
+        res["dense_decode fused"] = f"unavailable: {why}"
+    else:
+        for name, prec in [("HIGHEST", jax.lax.Precision.HIGHEST),
+                           ("HIGH", jax.lax.Precision.HIGH),
+                           ("DEFAULT", jax.lax.Precision.DEFAULT)]:
+            ddf = jax.jit(lambda f, p=prec: dense_decode_fused(
+                f, engine._vd_layers, VOL, precision=p))
+            res[f"dense_decode fused {name}"] = timeit(ddf, fvt, n=args.n)
+            err = float(np.max(np.abs(np.asarray(ddf(fvt)) - wnf_ref)))
+            res[f"dense_decode fused {name} max|err|"] = err
+
     dd_high = jax.jit(lambda f: dense_decode(
         f, engine._vd_layers, VOL, slab=engine._slab,
         precision=jax.lax.Precision.HIGH))

@@ -45,7 +45,15 @@ from garmentnets_tpu.ops.dense_decode import _slab_plan, interp_matrix
 def _pick_tiles(S: int) -> tuple:
     """Output-tile shape (TD, TH): ~4096 rows per MXU matmul (the full
     W axis of S lanes is always in the tile), bounded so VMEM holds two
-    [TD*TH*S, C] f32 activation buffers plus the window at C=256."""
+    [TD*TH*S, C] f32 activation buffers plus the window at C=256.
+    GARMENTNETS_DECODE_TILE=TDxTH overrides for on-chip tuning (both
+    must divide S)."""
+    import os
+    forced = os.environ.get("GARMENTNETS_DECODE_TILE")
+    if forced:
+        td, th = (int(v) for v in forced.lower().split("x"))
+        if S % td == 0 and S % th == 0:
+            return td, th
     TD = next((t for t in (4, 2, 1) if S % t == 0), 1)
     target_rows = 4096
     TH = max(1, min(S, target_rows // max(TD * S, 1)))

@@ -129,12 +129,12 @@ def dense_decode(feature_volume: jax.Array, layers, volume_size: int,
     # selects globally; explicit `backend` wins.
     import os
     backend = backend or os.environ.get("GARMENTNETS_DENSE_DECODE", "xla")
-    if backend == "pallas" and (mesh is None
-                                or space_axis not in mesh.axis_names):
+    if backend == "pallas":
         from garmentnets_tpu.ops.dense_decode_pallas import (
             dense_decode_fused)
         return dense_decode_fused(feature_volume, layers, volume_size,
-                                  precision=precision)
+                                  precision=precision, mesh=mesh,
+                                  space_axis=space_axis)
 
     layers = [tuple(jnp.asarray(a) for a in lay) for lay in layers]
 

@@ -82,6 +82,10 @@ def decode_tiles_pallas(zwin, wdw, h0s, whw, www, mids, kl_t, affl,
     wh = whw.shape[2]
     O = kl_t.shape[0]
     n_mid = len(mids) // 4
+    # output spatial extents: D/H come from the tile counts (under spatial
+    # sharding each shard owns a contiguous strip of d-tiles, so the local
+    # D extent is n_dt*TD < S); W is always the full S lattice
+    SD, SH = n_dt * TD, n_ht * TH
 
     def kernel(*refs):
         (zwin_ref, wdw_ref, h0s_ref, whw_ref, www_ref, *rest) = refs
@@ -175,7 +179,7 @@ def decode_tiles_pallas(zwin, wdw, h0s, whw, www, mids, kl_t, affl,
         transcendentals=0)
     return pl.pallas_call(
         kernel, grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((B, S, S, S, O), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((B, SD, SH, S, O), jnp.float32),
         cost_estimate=cost,
         interpret=interpret,
     )(zwin, wdw, h0s, whw, www, *mids, kl_t, affl, aff0)
@@ -183,10 +187,17 @@ def decode_tiles_pallas(zwin, wdw, h0s, whw, www, mids, kl_t, affl,
 
 def dense_decode_fused(feature_volume: jax.Array, layers,
                        volume_size: int, precision=None,
-                       interpret: bool = False) -> jax.Array:
-    """Drop-in fused equivalent of ops/dense_decode.dense_decode
-    (single-device path). feature_volume: [B, D, H, W, C]; layers from
-    eval_layers(). Returns [B, S, S, S] (scalar head) or [..., O]."""
+                       interpret: bool = False,
+                       mesh=None, space_axis: str = "space") -> jax.Array:
+    """Drop-in fused equivalent of ops/dense_decode.dense_decode.
+    feature_volume: [B, D, H, W, C]; layers from eval_layers(). Returns
+    [B, S, S, S] (scalar head) or [..., O].
+
+    With a mesh carrying `space_axis`, the d-tile axis is shard_map'ed
+    over it (each device runs the fused kernel on its contiguous strip of
+    d-tiles — the Pallas form of the XLA path's slab sharding, SURVEY.md
+    §2.5 model-sharding row), composed with batch DP on a 'data' axis
+    when it divides B."""
     B, D, Hc, Wc, C = feature_volume.shape
     S = volume_size
     TD, TH = _pick_tiles(S)
@@ -228,11 +239,45 @@ def dense_decode_fused(feature_volume: jax.Array, layers,
 
     mm_precision = precision if precision is not None else (
         jax.lax.Precision.HIGHEST)
-    out = decode_tiles_pallas(
-        zwin, wdw, jnp.asarray(h0, jnp.int32), jnp.asarray(whw),
-        jnp.asarray(www), tuple(mids), kl_t, affl, aff0,
-        S=S, TD=TD, TH=TH, mm_precision=mm_precision,
-        interpret=interpret)
+    h0 = jnp.asarray(h0, jnp.int32)
+    whw = jnp.asarray(whw)
+    www = jnp.asarray(www)
+    mids = tuple(mids)
+    run = functools.partial(
+        decode_tiles_pallas, S=S, TD=TD, TH=TH,
+        mm_precision=mm_precision, interpret=interpret)
+
+    if mesh is not None and space_axis in mesh.axis_names:
+        try:
+            from jax import shard_map          # jax >= 0.4.35
+        except ImportError:                    # pragma: no cover
+            from jax.experimental.shard_map import shard_map
+        from jax.sharding import PartitionSpec as P
+        n_space = mesh.shape[space_axis]
+        assert n_dt % n_space == 0, (
+            f"{n_dt} d-tiles must divide over the {n_space}-way "
+            f"'{space_axis}' mesh axis")
+        data_axis = next(
+            (a for a in mesh.axis_names if a != space_axis and B > 1
+             and B % mesh.shape[a] == 0), None)
+        rep = P()
+
+        def shard_run(zwin_s, wdw_s, h0_s, whw_s, www_s, kl_s, affl_s,
+                      aff0_s, *mids_s):
+            return run(zwin_s, wdw_s, h0_s, whw_s, www_s, tuple(mids_s),
+                       kl_s, affl_s, aff0_s)
+
+        out = shard_map(
+            shard_run, mesh=mesh,
+            in_specs=(P(data_axis, space_axis), P(space_axis), rep, rep,
+                      rep, rep, rep, rep) + (rep,) * len(mids),
+            out_specs=P(data_axis, space_axis),
+            # pallas_call carries no varying-mesh-axes metadata; shapes
+            # are already per-shard correct, so skip the vma check
+            check_vma=False)(
+                zwin, wdw, h0, whw, www, kl_t, affl, aff0, *mids)
+    else:
+        out = run(zwin, wdw, h0, whw, www, mids, kl_t, affl, aff0)
     if O == 1:
         out = out[..., 0]
     return out

@@ -62,3 +62,21 @@ def test_tile_plan_divides():
         TD, TH = _pick_tiles(S)
         assert S % TD == 0 and S % TH == 0
         assert TD * TH * S <= 8192  # two f32 [M, 256] buffers < 16 MB
+
+
+def test_fused_sharded_matches_single_device():
+    """Pallas backend under a ("data", "space") mesh: each device decodes
+    its strip of d-tiles; result equals the single-device fused decode.
+    Uses pallas_call(interpret=True) — the pure-JAX interpreter — NOT the
+    Mosaic TPU interpret context, whose host callbacks were observed to
+    deadlock under multi-device shard_map execution."""
+    from garmentnets_tpu.parallel.mesh import make_mesh_2d
+    rs = np.random.RandomState(2)
+    layers = _rand_layers(rs, (8, 16, 16, 1))
+    fv = jnp.asarray(rs.rand(4, 8, 8, 8, 8).astype(np.float32))
+    S = 16
+    ref = np.asarray(dense_decode_fused(fv, layers, S, interpret=True))
+    mesh2d = make_mesh_2d(2, 4)
+    out = np.asarray(jax.jit(lambda v: dense_decode_fused(
+        v, layers, S, mesh=mesh2d, interpret=True))(fv))
+    np.testing.assert_allclose(out, ref, rtol=2e-5, atol=2e-6)

@@ -247,13 +247,19 @@ def dense_decode_fused(feature_volume: jax.Array, layers,
         decode_tiles_pallas, S=S, TD=TD, TH=TH,
         mm_precision=mm_precision, interpret=interpret)
 
-    if mesh is not None and space_axis in mesh.axis_names:
+    if mesh is not None:
+        # ANY mesh goes through shard_map: a pallas_call inside a plain
+        # GSPMD-partitioned jit is an opaque custom call the partitioner
+        # can't split, so even the batch-DP-only ("data",) mesh needs the
+        # explicit per-shard formulation.
         try:
             from jax import shard_map          # jax >= 0.4.35
         except ImportError:                    # pragma: no cover
             from jax.experimental.shard_map import shard_map
         from jax.sharding import PartitionSpec as P
-        n_space = mesh.shape[space_axis]
+        has_space = space_axis in mesh.axis_names
+        n_space = mesh.shape[space_axis] if has_space else 1
+        space = space_axis if has_space else None
         assert n_dt % n_space == 0, (
             f"{n_dt} d-tiles must divide over the {n_space}-way "
             f"'{space_axis}' mesh axis")
@@ -269,9 +275,9 @@ def dense_decode_fused(feature_volume: jax.Array, layers,
 
         out = shard_map(
             shard_run, mesh=mesh,
-            in_specs=(P(data_axis, space_axis), P(space_axis), rep, rep,
+            in_specs=(P(data_axis, space), P(space), rep, rep,
                       rep, rep, rep, rep) + (rep,) * len(mids),
-            out_specs=P(data_axis, space_axis),
+            out_specs=P(data_axis, space),
             # pallas_call carries no varying-mesh-axes metadata; shapes
             # are already per-shard correct, so skip the vma check
             check_vma=False)(

@@ -80,3 +80,18 @@ def test_fused_sharded_matches_single_device():
     out = np.asarray(jax.jit(lambda v: dense_decode_fused(
         v, layers, S, mesh=mesh2d, interpret=True))(fv))
     np.testing.assert_allclose(out, ref, rtol=2e-5, atol=2e-6)
+
+
+def test_fused_data_only_mesh():
+    """A batch-DP-only ("data",) mesh must still route through shard_map
+    (GSPMD can't partition an opaque pallas_call)."""
+    from jax.sharding import Mesh
+    rs = np.random.RandomState(3)
+    layers = _rand_layers(rs, (8, 16, 1))
+    fv = jnp.asarray(rs.rand(8, 4, 4, 4, 8).astype(np.float32))
+    S = 8
+    ref = np.asarray(dense_decode_fused(fv, layers, S, interpret=True))
+    mesh = Mesh(np.asarray(jax.devices()[:4]), ("data",))
+    out = np.asarray(jax.jit(lambda v: dense_decode_fused(
+        v, layers, S, mesh=mesh, interpret=True))(fv))
+    np.testing.assert_allclose(out, ref, rtol=2e-5, atol=2e-6)

@@ -95,3 +95,15 @@ def test_fused_data_only_mesh():
     out = np.asarray(jax.jit(lambda v: dense_decode_fused(
         v, layers, S, mesh=mesh, interpret=True))(fv))
     np.testing.assert_allclose(out, ref, rtol=2e-5, atol=2e-6)
+
+
+def test_fused_non_cubic_coarse_grid():
+    """D/H/W extents may differ in the coarse volume; only the output
+    lattice is cubic (dense_decode semantics)."""
+    rs = np.random.RandomState(4)
+    layers = _rand_layers(rs, (6, 12, 1))
+    fv = jnp.asarray(rs.rand(2, 4, 6, 8, 6).astype(np.float32))
+    S = 16
+    ref = np.asarray(dense_decode(fv, layers, S, slab=2))
+    out = np.asarray(dense_decode_fused(fv, layers, S, interpret=True))
+    np.testing.assert_allclose(out, ref, rtol=2e-5, atol=2e-6)

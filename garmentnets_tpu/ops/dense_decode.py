@@ -123,12 +123,17 @@ def dense_decode(feature_volume: jax.Array, layers, volume_size: int,
     B, D, H, W, C = feature_volume.shape
     S = volume_size
 
-    # backend dispatch: 'xla' (this slab path; works everywhere, shards
-    # over a 'space' mesh axis) or 'pallas' (ops/dense_decode_pallas —
-    # fused VMEM kernel, single-device only). GARMENTNETS_DENSE_DECODE
-    # selects globally; explicit `backend` wins.
+    # backend dispatch: 'xla' (this slab path; works everywhere),
+    # 'pallas' (ops/dense_decode_pallas — fused VMEM kernel; shard_maps
+    # itself over any mesh), or 'auto' (probe-select pallas where it
+    # compiles, mirroring the Pallas-FPS autodetect).
+    # GARMENTNETS_DENSE_DECODE selects globally; explicit `backend` wins.
     import os
     backend = backend or os.environ.get("GARMENTNETS_DENSE_DECODE", "xla")
+    if backend == "auto":
+        from garmentnets_tpu.ops.dense_decode_pallas import (
+            fused_decode_available)
+        backend = "pallas" if fused_decode_available()[0] else "xla"
     if backend == "pallas":
         from garmentnets_tpu.ops.dense_decode_pallas import (
             dense_decode_fused)

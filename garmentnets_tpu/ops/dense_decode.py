@@ -134,6 +134,10 @@ def dense_decode(feature_volume: jax.Array, layers, volume_size: int,
         from garmentnets_tpu.ops.dense_decode_pallas import (
             fused_decode_available)
         backend = "pallas" if fused_decode_available()[0] else "xla"
+    if backend not in ("xla", "pallas"):
+        raise ValueError(
+            f"unknown dense-decode backend {backend!r} "
+            "(expected 'xla', 'pallas', or 'auto')")
     if backend == "pallas":
         from garmentnets_tpu.ops.dense_decode_pallas import (
             dense_decode_fused)

@@ -52,8 +52,12 @@ def _pick_tiles(S: int) -> tuple:
     forced = os.environ.get("GARMENTNETS_DECODE_TILE")
     if forced:
         td, th = (int(v) for v in forced.lower().split("x"))
-        if S % td == 0 and S % th == 0:
-            return td, th
+        if td <= 0 or th <= 0 or S % td or S % th:
+            raise ValueError(
+                f"GARMENTNETS_DECODE_TILE={forced!r}: both factors must be "
+                f"positive divisors of the volume size {S} (a silently "
+                "ignored override would corrupt a tuning sweep)")
+        return td, th
     TD = next((t for t in (4, 2, 1) if S % t == 0), 1)
     target_rows = 4096
     TH = max(1, min(S, target_rows // max(TD * S, 1)))
@@ -293,7 +297,12 @@ def dense_decode_fused(feature_volume: jax.Array, layers,
 def fused_decode_available() -> tuple:
     """(ok, reason): probe-compile a tiny fused decode on the default
     backend. Mirrors ops/pointcloud's Pallas FPS autodetect; failures are
-    recorded (not swallowed) so a silent fallback is diagnosable."""
+    recorded (not swallowed) so a silent fallback is diagnosable.
+
+    Genuine can't-compile failures are cached for the process lifetime;
+    TRANSIENT device errors (backend init / UNAVAILABLE — e.g. this
+    host's axon tunnel wedge) clear the cache before returning so a later
+    'auto' dispatch re-probes once the device recovers."""
     try:
         rs = np.random.RandomState(0)
         layers = [
@@ -312,4 +321,8 @@ def fused_decode_available() -> tuple:
             lambda v: dense_decode_fused(v, layers, 8))(fv))
         return True, ""
     except Exception as e:  # noqa: BLE001 — any backend failure
-        return False, repr(e)
+        msg = repr(e)
+        if any(s in msg for s in
+               ("UNAVAILABLE", "Unable to initialize", "DEADLINE")):
+            fused_decode_available.cache_clear()
+        return False, msg

@@ -23,6 +23,11 @@ import numpy as np
 
 
 def timeit(fn, *args, n=20, warmup=2):
+    """Deferred-fetch timing (mirrors tools/bench_encode.timeit): queue n
+    launches, sync through ONE tiny scalar fetch after the loop — a
+    per-iteration float() would add a full tunnel round trip to every rep
+    and compress exactly the ms-scale differences this microbench exists
+    to resolve."""
     import jax
     import jax.numpy as jnp
 
@@ -33,11 +38,12 @@ def timeit(fn, *args, n=20, warmup=2):
 
     jfn = jax.jit(scalarized)
     for _ in range(warmup):
-        float(jfn(*args))
+        out = jfn(*args)
+    float(out)
     t0 = time.time()
-    acc = 0.0
     for _ in range(n):
-        acc += float(jfn(*args))
+        out = jfn(*args)
+    float(out)
     dt = (time.time() - t0) / n * 1000
     return f"{dt:7.2f} ms"
 

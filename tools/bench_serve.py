@@ -67,9 +67,15 @@ def main():
     print(f"warm: {time.time() - t0:.1f}s; ok="
           f"{[int(r['ok']) for r in res]}", file=sys.stderr)
 
+    lat_lock = threading.Lock()
+    latencies = []
+
     def client(_):
         for _ in range(args.rounds):
+            t = time.time()
             svc.submit(x, pos)
+            with lat_lock:
+                latencies.append(time.time() - t)
 
     threads = [threading.Thread(target=client, args=(i,))
                for i in range(args.clients)]
@@ -81,12 +87,18 @@ def main():
     dt = time.time() - t0
     total = args.clients * args.rounds * args.batch
     gps = total / dt
+    lat = np.asarray(sorted(latencies))
+    p50, p95, pmax = (float(np.percentile(lat, 50)),
+                      float(np.percentile(lat, 95)), float(lat[-1]))
     print(f"{total} garments in {dt:.2f}s over {svc.stats['batches']} "
-          f"device batches", file=sys.stderr)
+          f"device batches; request latency p50 {p50*1000:.0f} ms / "
+          f"p95 {p95*1000:.0f} ms / max {pmax*1000:.0f} ms", file=sys.stderr)
     print(json.dumps({
         "metric": f"serving throughput ({args.clients} clients, B="
                   f"{args.batch}, {args.volume}^3 WNF)",
-        "value": round(gps, 3), "unit": "garments/sec"}))
+        "value": round(gps, 3), "unit": "garments/sec",
+        "latency_ms": {"p50": round(p50 * 1000), "p95": round(p95 * 1000),
+                       "max": round(pmax * 1000)}}))
     svc.close()
 
 

@@ -122,17 +122,19 @@ def decode_tiles_pallas(zwin, wdw, h0s, whw, www, mids, kl_t, affl,
             a = jax.nn.relu(h) * g_ref[0][None, :] + s_ref[0][None, :]
         # scalar head on the VPU (an MXU matmul at N=O<=8 would burn a
         # full 128-lane pass); per output channel: mul-broadcast + lane
-        # reduction, then the final affine
+        # reduction, then the final affine. Assembled so no value ever
+        # lives in a lane-1 layout: [S, TD*TH] -> transpose -> S in lanes.
+        a3 = a.reshape(S, TD * TH, a.shape[-1])
         outs = []
         for o in range(O):
-            h3 = jnp.sum(a * kl_ref[o][None, :], axis=1,
-                         keepdims=True)              # [M, 1]
+            h3 = jnp.sum(a3 * kl_ref[o][None, None, :], axis=-1)  # [S,TDTH]
             v = (jax.nn.relu(h3 + affl_ref[0, o]) * affl_ref[1, o]
                  + affl_ref[2, o])
-            outs.append(v.reshape(S, TD, TH))
-        tile = jnp.stack([jnp.transpose(v, (1, 2, 0)) for v in outs],
-                         axis=-1)                    # [TD, TH, S, O]
-        out_ref[0] = tile
+            outs.append(jnp.transpose(v, (1, 0)).reshape(TD, TH, S))
+        if O == 1:
+            out_ref[0] = outs[0]                     # [TD, TH, S], S lanes
+        else:
+            out_ref[0] = jnp.stack(outs, axis=-1)    # [TD, TH, S, O]
 
     mid_specs = []
     for li in range(n_mid):
@@ -168,9 +170,13 @@ def decode_tiles_pallas(zwin, wdw, h0s, whw, www, mids, kl_t, affl,
             pl.BlockSpec((2, C1), lambda b, i, j: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, TD, TH, S, O),
-                               lambda b, i, j: (b, i, j, 0, 0),
-                               memory_space=pltpu.VMEM),
+        out_specs=(pl.BlockSpec((1, TD, TH, S),
+                                lambda b, i, j: (b, i, j, 0),
+                                memory_space=pltpu.VMEM)
+                   if O == 1 else
+                   pl.BlockSpec((1, TD, TH, S, O),
+                                lambda b, i, j: (b, i, j, 0, 0),
+                                memory_space=pltpu.VMEM)),
     )
     n_rows = S * TD * TH
     C_mid = mids[0].shape[0] if n_mid else C1
@@ -181,9 +187,10 @@ def decode_tiles_pallas(zwin, wdw, h0s, whw, www, mids, kl_t, affl,
                   for li in range(n_mid)) + C_mid * O),
         bytes_accessed=zwin.nbytes + B * S * S * S * O * 4,
         transcendentals=0)
+    out_dims = (B, SD, SH, S) if O == 1 else (B, SD, SH, S, O)
     return pl.pallas_call(
         kernel, grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((B, SD, SH, S, O), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct(out_dims, jnp.float32),
         cost_estimate=cost,
         interpret=interpret,
     )(zwin, wdw, h0s, whw, www, *mids, kl_t, affl, aff0)
@@ -288,8 +295,8 @@ def dense_decode_fused(feature_volume: jax.Array, layers,
                 zwin, wdw, h0, whw, www, kl_t, affl, aff0, *mids)
     else:
         out = run(zwin, wdw, h0, whw, www, mids, kl_t, affl, aff0)
-    if O == 1:
-        out = out[..., 0]
+    # O == 1 already comes back squeezed ([B, S, S, S]) — the kernel emits
+    # the scalar head with S in the lane dimension, never a lane-1 layout
     return out
 
 

@@ -107,3 +107,17 @@ def test_fused_non_cubic_coarse_grid():
     ref = np.asarray(dense_decode(fv, layers, S, slab=2))
     out = np.asarray(dense_decode_fused(fv, layers, S, interpret=True))
     np.testing.assert_allclose(out, ref, rtol=2e-5, atol=2e-6)
+
+
+def test_invalid_knobs_raise(monkeypatch):
+    rs = np.random.RandomState(5)
+    layers = _rand_layers(rs, (6, 12, 1))
+    fv = jnp.asarray(rs.rand(1, 4, 4, 4, 6).astype(np.float32))
+    with pytest.raises(ValueError, match="unknown dense-decode backend"):
+        dense_decode(fv, layers, 8, backend="fused")
+    monkeypatch.setenv("GARMENTNETS_DECODE_TILE", "3x8")  # 3 ∤ 8
+    with pytest.raises(ValueError, match="DECODE_TILE"):
+        _pick_tiles(8)
+    monkeypatch.setenv("GARMENTNETS_DECODE_TILE", "0x8")
+    with pytest.raises(ValueError, match="DECODE_TILE"):
+        _pick_tiles(8)

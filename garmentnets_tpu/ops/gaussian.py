@@ -60,11 +60,31 @@ def _conv1d_axis(x: jax.Array, kernel: np.ndarray, axis: int) -> jax.Array:
     return out
 
 
-@functools.partial(jax.jit, static_argnames=("sigma", "truncate"))
 def gaussian_gradient_magnitude(volume: jax.Array, sigma: float,
-                                truncate: float = 4.0) -> jax.Array:
+                                truncate: float = 4.0,
+                                backend: str | None = None) -> jax.Array:
     """|grad(G_sigma * volume)| over the last three axes (scipy semantics,
-    mode='nearest'). volume: [..., D, H, W]."""
+    mode='nearest'). volume: [..., D, H, W].
+
+    backend: 'xla' (default; works everywhere incl. GSPMD-sharded jits)
+    or 'pallas' (ops/gaussian_pallas fused single-pass kernel; 4-D
+    [B, D, H, W] single-device only). GARMENTNETS_GGM sets it globally.
+    The env var is resolved HERE, outside the jit boundary — resolving
+    it inside would bake the first-seen value into the trace cache.
+    """
+    import os
+    backend = backend or os.environ.get("GARMENTNETS_GGM", "xla")
+    if backend == "pallas" and volume.ndim == 4:
+        from garmentnets_tpu.ops.gaussian_pallas import ggm_pallas
+        return ggm_pallas(volume, sigma, truncate)
+    if backend not in ("xla", "pallas"):
+        raise ValueError(f"unknown ggm backend {backend!r}")
+    return _ggm_xla(volume, sigma, truncate)
+
+
+@functools.partial(jax.jit, static_argnames=("sigma", "truncate"))
+def _ggm_xla(volume: jax.Array, sigma: float,
+             truncate: float = 4.0) -> jax.Array:
     radius = int(truncate * sigma + 0.5)
     k0 = _gaussian_kernel1d(sigma, 0, radius)
     k1 = _gaussian_kernel1d(sigma, 1, radius)

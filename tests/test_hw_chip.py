@@ -193,3 +193,16 @@ def test_fused_dense_decode_on_chip():
     out = np.asarray(jax.jit(lambda v: dense_decode_fused(
         v, layers, 64, precision=hi))(fv))
     np.testing.assert_allclose(out, ref, rtol=2e-5, atol=2e-6)
+
+
+def test_fused_ggm_on_chip():
+    """The fused Pallas ggm must compile on the real chip and agree with
+    the XLA separable path."""
+    import jax.numpy as jnp
+    from garmentnets_tpu.ops.gaussian import gaussian_gradient_magnitude
+    from garmentnets_tpu.ops.gaussian_pallas import ggm_pallas
+    rs = np.random.RandomState(0)
+    vol = jnp.asarray(rs.rand(2, 32, 32, 32).astype(np.float32))
+    ref = np.asarray(gaussian_gradient_magnitude(vol, 0.5))
+    out = np.asarray(ggm_pallas(vol, 0.5))
+    np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-5)

@@ -145,6 +145,14 @@ def main():
     # --- ggm / extraction ---
     ggm_fn = jax.jit(lambda w: gaussian_gradient_magnitude(w, 0.5))
     res["gaussian_gradient_magnitude"] = timeit(ggm_fn, wnf, n=args.n)
+    try:
+        from garmentnets_tpu.ops.gaussian_pallas import ggm_pallas
+        ggm_p = jax.jit(lambda w: ggm_pallas(w, 0.5))
+        res["ggm fused (pallas)"] = timeit(ggm_p, wnf, n=args.n)
+        res["ggm fused max|err|"] = float(np.max(np.abs(
+            np.asarray(ggm_p(wnf)) - np.asarray(ggm_fn(wnf)))))
+    except Exception as e:  # noqa: BLE001 — kernel may not compile here
+        res["ggm fused (pallas)"] = f"unavailable: {e!r}"
     ext = jax.jit(lambda w: extract_active_bricks(w, 0.5, engine.brick_cap))
     res["extract_active_bricks"] = timeit(ext, wnf, n=args.n)
     base, vals, counts = ext(wnf)

@@ -40,15 +40,32 @@ class SAModule(nn.Module):
         centers = jnp.take_along_axis(pos, idx[..., None], axis=1)
         nbr_idx, nbr_mask = ball_query(
             pos, centers, self.radius, k=self.max_neighbors)     # [B,M,K]
-        nbr_pos = jnp.take_along_axis(
-            pos[:, None], nbr_idx[..., None], axis=2)            # [B,M,K,3]
-        rel_pos = nbr_pos - centers[:, :, None, :]
-        feats = [rel_pos]
-        if x is not None:
-            nbr_x = jnp.take_along_axis(
-                x[:, None], nbr_idx[..., None], axis=2)          # [B,M,K,C]
-            feats = [nbr_x, rel_pos]
-        h = jnp.concatenate(feats, axis=-1)
+        # Neighbor-feature gather. 'split' = one take_along_axis per
+        # source (reference-shaped); GARMENTNETS_SA_GATHER=combined
+        # gathers the pre-concatenated [x | pos] rows in ONE op — same
+        # values bit-for-bit, candidate layout win for the TPU gather
+        # engine (tools/bench_gather.py measures both; env is read at
+        # trace time, so set it before the engine/jit is built).
+        import os
+        combined = (x is not None and os.environ.get(
+            "GARMENTNETS_SA_GATHER", "split") == "combined")
+        if combined:
+            src = jnp.concatenate([x, pos], axis=-1)
+            nbr = jnp.take_along_axis(
+                src[:, None], nbr_idx[..., None], axis=2)        # [B,M,K,C+3]
+            nbr_pos = nbr[..., x.shape[-1]:]
+            rel_pos = nbr_pos - centers[:, :, None, :]
+            h = jnp.concatenate([nbr[..., :x.shape[-1]], rel_pos], axis=-1)
+        else:
+            nbr_pos = jnp.take_along_axis(
+                pos[:, None], nbr_idx[..., None], axis=2)        # [B,M,K,3]
+            rel_pos = nbr_pos - centers[:, :, None, :]
+            feats = [rel_pos]
+            if x is not None:
+                nbr_x = jnp.take_along_axis(
+                    x[:, None], nbr_idx[..., None], axis=2)      # [B,M,K,C]
+                feats = [nbr_x, rel_pos]
+            h = jnp.concatenate(feats, axis=-1)
         h = PointMLP(self.mlp_channels, self.batch_norm, name="mlp")(
             h, mask=nbr_mask, train=train)
         # masked max over neighbor slots (>=1 valid: self at distance 0)

@@ -249,3 +249,21 @@ def test_aabb_scale_offset_matches_numpy_normalizer():
     ref = AABBGripNormalizer(aabb)
     np.testing.assert_allclose(float(scale[0]), ref.scale, rtol=1e-5)
     np.testing.assert_allclose(np.asarray(offset[0]), ref.offset, rtol=1e-5)
+
+
+def test_sa_gather_combined_is_bit_identical(monkeypatch):
+    """GARMENTNETS_SA_GATHER=combined must produce bit-identical SA
+    outputs (same gathered values, same concat order)."""
+    import jax
+    import jax.numpy as jnp
+    from garmentnets_tpu.models.pointnet2 import SAModule
+    rs = np.random.RandomState(0)
+    x = jnp.asarray(rs.rand(2, 128, 3).astype(np.float32))
+    pos = jnp.asarray((rs.rand(2, 128, 3) - 0.5).astype(np.float32))
+    mod = SAModule(ratio=0.5, radius=0.2, mlp_channels=(6, 16, 16))
+    variables = mod.init(jax.random.PRNGKey(0), x, pos, train=False)
+    ref, ref_c = mod.apply(variables, x, pos, train=False)
+    monkeypatch.setenv("GARMENTNETS_SA_GATHER", "combined")
+    out, out_c = mod.apply(variables, x, pos, train=False)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+    np.testing.assert_array_equal(np.asarray(out_c), np.asarray(ref_c))

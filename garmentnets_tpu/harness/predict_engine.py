@@ -179,7 +179,12 @@ class PredictEngine:
                            self._vd_layers,
                            self.volume_size, slab=self._slab,
                            precision=self.precision, mesh=self.mesh)
-        ggm = gaussian_gradient_magnitude(wnf, self.gradient_sigma)
+        # mesh-sharded encode must keep the XLA ggm: a pallas_call inside
+        # this GSPMD-partitioned jit cannot be split by the partitioner
+        # (the env-selected 'pallas' backend is honored single-device only)
+        ggm = gaussian_gradient_magnitude(
+            wnf, self.gradient_sigma,
+            backend="xla" if self.mesh is not None else None)
         base, vals, counts = extract_active_bricks(
             wnf, self.iso_level, self.brick_cap)
 

@@ -130,7 +130,28 @@ def main():
           f"(brick cap {engine.brick_cap}, heavy={heavy})", file=sys.stderr)
     pages = jax.jit(
         lambda b, v: pack_brick_pages(b, v, engine.brick_page))(base, vals)
-    sub = {"active_pages": pages, "active_counts": counts}
+
+    # Bench fidelity (VERDICT r2 weak #3): jax.Array caches its host copy
+    # after the first fetch, so substituting ONE device-resident page set
+    # would let steady-state reps skip the per-batch ~1.5 MB page d2h the
+    # real predict path pays (encode emits FRESH buffers every batch).
+    # Re-materialize fresh device buffers per batch by adding a zero array
+    # XLA cannot fold away (it can't prove the argument is zero at compile
+    # time, and a non-identity program defeats input-output forwarding):
+    # numerically a no-op, but every batch's pages/counts are new jax.Arrays
+    # whose extract_meshes fetch must cross the link like production.
+    zero_pages = jax.device_put(
+        tuple(np.zeros(p.shape, p.dtype) for p in pages))
+    zero_counts = jax.device_put(np.zeros(counts.shape, counts.dtype))
+    _refresh = jax.jit(
+        lambda ps, zps, c, zc: (tuple(p + z for p, z in zip(ps, zps)),
+                                c + zc))
+
+    def fresh_sub():
+        ps, cs = _refresh(pages, zero_pages, counts, zero_counts)
+        return {"active_pages": ps, "active_counts": cs}
+
+    sub = fresh_sub()
 
     # warmup / compile
     t0 = time.time()
@@ -168,7 +189,8 @@ def main():
             return len(meshes)
 
         for i in range(N_BATCHES):
-            enc = dict(engine.encode(batch["x"], batch["pos"]), **sub)
+            enc = dict(engine.encode(batch["x"], batch["pos"]),
+                       **fresh_sub())
             engine.prefetch(enc)
             encs.append(enc)
             if len(encs) > 2:

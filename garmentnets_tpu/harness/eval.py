@@ -127,7 +127,11 @@ def main(cfg, run_dir=None) -> pathlib.Path:
             # reference eval.py:910 uses the same Blosc-zstd compressor
             per_sample_group.array(name=column, data=value,
                                    compressor="blosc")
-            agg_group[column] = np.nanmean(value)
+            # an all-NaN column (every sample null for this metric) is a
+            # legitimate aggregate of NaN — take it without numpy's noisy
+            # "Mean of empty slice" RuntimeWarning
+            agg_group[column] = (np.nanmean(value)
+                                 if np.isfinite(value).any() else np.nan)
 
     all_metrics_df = pd.DataFrame(all_metrics,
                                   index=sample_keys_series.index)

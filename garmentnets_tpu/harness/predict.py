@@ -66,16 +66,17 @@ def _write_group(group, data: dict):
 def process_item(engine, enc_np, item, batch_np, input_group, output_group,
                  pred_cfg, mesh, warp):
     """Host post-processing for one garment of a batch (writes)."""
-    from garmentnets_tpu.ops.geometry import per_vertex_normals
-
     mc_data = _nan_mc_placeholders()
     if mesh is not None and warp is not None:
-        mc_verts, mc_faces, mc_values = mesh
+        mc_verts, mc_faces, mc_values, mc_normals = mesh
         mc_data = {
             "verts": mc_verts.astype(np.float32),
             "faces": mc_faces.astype(np.int32),
-            "normals": per_vertex_normals(
-                mc_verts.astype(np.float64), mc_faces).astype(np.float32),
+            # unit volume-gradient normals from the MC kernel (skimage
+            # semantics: central differences of the field lerped at the
+            # vertex; reference stores skimage's gradient normals,
+            # predict.py:172-197)
+            "normals": mc_normals.astype(np.float32),
             # true per-vertex volume value, emitted by the host MC kernel
             # from its corner values (skimage `values` semantics — max of
             # the vertex's crossing-edge endpoints; reference stores

@@ -297,9 +297,10 @@ class PredictEngine:
         """Fetch the shipped brick pages once for the batch and run the host
         C++ marching-cubes kernel per garment (it discovers the straddling
         cubes directly from the bricks). Returns a list of (verts, faces,
-        values) — values is the per-vertex skimage-semantics volume value
-        the kernel emits from its corner values (reference stores skimage's
-        output at predict.py:195-197) — or None (no surface / NaN-sentinel
+        values, normals) — values is the per-vertex skimage-semantics volume
+        value the kernel emits from its corner values, normals the unit
+        volume-gradient normals at the vertices (reference stores skimage's
+        outputs at predict.py:172-197) — or None (no surface / NaN-sentinel
         case)."""
         counts = np.asarray(enc["active_counts"])
         B = len(counts)
@@ -314,10 +315,10 @@ class PredictEngine:
             wnf = np.asarray(self._dense_wnf(enc))
             for b in range(B):
                 try:
-                    v, f, _, vals = marching_cubes(
+                    v, f, norms, vals = marching_cubes(
                         wnf[b], self.iso_level, spacing=spacing,
                         gradient_direction=self.gradient_direction)
-                    results[b] = (v, f, vals)
+                    results[b] = (v, f, vals, norms)
                 except ValueError:
                     pass
             return results
@@ -337,12 +338,12 @@ class PredictEngine:
             if n == 0:
                 continue
             try:
-                v, f, vals = marching_cubes_bricks(
+                v, f, vals, norms = marching_cubes_bricks(
                     brick_idx[b, :n], brick_vals[b, :n], (S, S, S),
                     self.iso_level, spacing,
                     gradient_direction=self.gradient_direction,
-                    return_values=True)
-                results[b] = (v, f, vals)
+                    return_values=True, return_normals=True)
+                results[b] = (v, f, vals, norms)
             except ValueError:
                 pass
         return results

@@ -292,11 +292,12 @@ class PredictService:
                 # NaN-sentinel protocol (reference predict.py:165-189)
                 job.result = {"ok": np.int32(0)}
             else:
-                verts, faces, values = m
+                verts, faces, values, normals = m
                 job.result = {
                     "ok": np.int32(1),
                     "verts": verts.astype(np.float32),
                     "faces": faces.astype(np.int32),
+                    "normals": normals.astype(np.float32),
                     "volume_value": values.astype(np.float32),
                     "warp_field": w["warp_field"].astype(np.float32),
                     "verts_ggm": w["verts_ggm"].astype(np.float32),

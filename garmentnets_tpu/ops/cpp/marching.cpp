@@ -13,6 +13,17 @@
 //   has degree 2), each loop fan-triangulated. No case tables to get wrong.
 // - method 1 ("tetrahedra"): 6-tet cube split around the main diagonal;
 //   ~3x more vertices (face/body-diagonal crossings) but simplicial-exact.
+// - method 2 ("trilinear"): the trilinear-topology variant — the topology
+//   class skimage's Lewiner tables encode (reference predict.py:172-177).
+//   Same vertex set as method 0 (crossing edges depend only on corner
+//   signs); differs in AMBIGUITY RESOLUTION: face-ambiguous cases use the
+//   asymptotic decider (sign of the bilinear saddle value, identical on
+//   both sides of the face -> still crack-free), and cubes whose contour
+//   chains into >= 2 loops run an interior connectivity test on the
+//   trilinear interpolant (sampled on an 8^3 sub-lattice) — loops whose
+//   inside-corner sets join through the cube interior are stitched into a
+//   tunnel band instead of two caps. Used to MEASURE the procedural
+//   method's deviation bound (docs/PARITY.md); method 0 stays the default.
 //
 // Vertices are interpolated on grid-vertex pairs and welded via an
 // open-addressing hash map so the output is an indexed (verts, faces) mesh
@@ -21,6 +32,7 @@
 //
 // Build: g++ -O3 -shared -fPIC -o libmarching.so marching.cpp
 
+#include <cmath>
 #include <cstdint>
 #include <cstdlib>
 #include <cstring>
@@ -36,6 +48,12 @@ struct Mesh {
     std::vector<float> values;  // nv (want_values: max of the vertex's
                                 //     crossing-edge endpoint values — the
                                 //     skimage `values` local-max measure)
+    std::vector<float> normals; // 3 * nv (want_normals: unit volume-
+                                //     gradient normals, skimage-semantics:
+                                //     central differences of the field at
+                                //     the edge endpoints, lerped at the
+                                //     vertex — reference stores skimage's
+                                //     gradient normals, predict.py:172-197)
 };
 
 // open-addressing hash map: 64-bit edge key -> vertex index; grows at 50%
@@ -109,6 +127,7 @@ struct Extractor {
     // of its edge in the device's on-device warp-query output.
     bool want_ranks = false;
     bool want_values = false;             // emit per-vertex Mesh::values
+    bool want_normals = false;            // emit per-vertex Mesh::normals
     std::vector<uint64_t> cross_bits;     // [n_bricks * 3] (64 bits/dir)
     std::vector<int64_t> cross_prefix;    // [n_bricks] exclusive
 
@@ -138,6 +157,49 @@ struct Extractor {
         // every queried id was registered by note_corner)
         int32_t* slot = const_cast<EdgeMap&>(val_map).slot((uint64_t)g);
         return sparse_vals[*slot];
+    }
+
+    // value availability (drives one-sided fallbacks in grad()): full-
+    // volume mode has everything in bounds; brick mode only the shipped
+    // bricks; active mode only the noted corners
+    inline bool has(int64_t x, int64_t y, int64_t z) const {
+        if (x < 0 || y < 0 || z < 0 || x >= nx || y >= ny || z >= nz)
+            return false;
+        if (vol) return true;
+        if (bricks)
+            return brick_row[((x >> 2) * nby + (y >> 2)) * nbz
+                             + (z >> 2)] >= 0;
+        int32_t* slot = const_cast<EdgeMap&>(val_map).slot(
+            (uint64_t)((x * ny + y) * nz + z));
+        return *slot >= 0;
+    }
+
+    // volume gradient at a grid vertex: np.gradient semantics (interior
+    // central difference, one-sided where the neighbor is unavailable —
+    // at the volume boundary exactly like numpy; in the sparse modes also
+    // at un-shipped bricks, a documented approximation 1+ voxels off the
+    // surface). Physical units (divided by spacing).
+    inline void grad(int64_t g, float out[3]) const {
+        int64_t z = g % nz, y = (g / nz) % ny, x = g / (nz * ny);
+        const int64_t c[3] = {x, y, z};
+        const int64_t stride[3] = {ny * nz, nz, 1};
+        const float sp[3] = {sx, sy, sz};
+        for (int a = 0; a < 3; ++a) {
+            int64_t p[3] = {x, y, z};
+            p[a] = c[a] + 1;
+            bool hp = has(p[0], p[1], p[2]);
+            p[a] = c[a] - 1;
+            bool hm = has(p[0], p[1], p[2]);
+            if (hp && hm)
+                out[a] = (val(g + stride[a]) - val(g - stride[a]))
+                         / (2.f * sp[a]);
+            else if (hp)
+                out[a] = (val(g + stride[a]) - val(g)) / sp[a];
+            else if (hm)
+                out[a] = (val(g) - val(g - stride[a])) / sp[a];
+            else
+                out[a] = 0.f;
+        }
     }
 
     inline void note_corner(int64_t g, float v) {
@@ -204,6 +266,25 @@ struct Extractor {
         mesh.verts.push_back(pz);
         if (want_ranks) mesh.ranks.push_back(rank);
         if (want_values) mesh.values.push_back(va > vb ? va : vb);
+        if (want_normals) {
+            // skimage-semantics gradient normal: the vertex lies ON the
+            // ga-gb edge, so trilinear interpolation of the grid-vertex
+            // gradients reduces to a lerp of the two endpoint gradients.
+            // Sign matches this kernel's face orientation (emit(): normals
+            // point away from the inside region): inside is v > level
+            // under 'ascent', so outward is -grad; +grad under 'descent'.
+            float gA[3], gB[3];
+            grad(ga, gA);
+            grad(gb, gB);
+            float n0 = gA[0] + t * (gB[0] - gA[0]);
+            float n1 = gA[1] + t * (gB[1] - gA[1]);
+            float n2 = gA[2] + t * (gB[2] - gA[2]);
+            float len = std::sqrt(n0 * n0 + n1 * n1 + n2 * n2);
+            float s = (ascent ? -1.f : 1.f) / (len > 0.f ? len : 1.f);
+            mesh.normals.push_back(n0 * s);
+            mesh.normals.push_back(n1 * s);
+            mesh.normals.push_back(n2 * s);
+        }
         *v = idx;
         return idx;
     }
@@ -327,10 +408,25 @@ struct Extractor {
             if (m == 0 || m == 15) continue;
             if (m == 5 || m == 10) {
                 // diagonal (ambiguous): both adjacent cubes see the same 4
-                // values, so deciding by the face-center average keeps the
-                // two triangulations consistent (no cracks)
-                float center = (v[fc[0]] + v[fc[1]] + v[fc[2]] + v[fc[3]])
-                               * 0.25f;
+                // values, so any corner-value-only decision keeps the two
+                // triangulations consistent (no cracks).
+                //   method 0: face-center average;
+                //   method 2: asymptotic decider — the exact bilinear
+                //   saddle value (Nielson-Hamann; what Lewiner's face
+                //   tests encode)
+                float center;
+                if (method == 2) {
+                    float a = v[fc[0]] - level, b = v[fc[1]] - level,
+                          c = v[fc[2]] - level, d = v[fc[3]] - level;
+                    float den = a + c - b - d;
+                    center = (den != 0.f)
+                                 ? (a * c - b * d) / den + level
+                                 : (v[fc[0]] + v[fc[1]] + v[fc[2]]
+                                    + v[fc[3]]) * 0.25f;
+                } else {
+                    center = (v[fc[0]] + v[fc[1]] + v[fc[2]] + v[fc[3]])
+                             * 0.25f;
+                }
                 bool cin = ascent ? (center > level) : (center < level);
                 // center joined to the inside diagonal -> contour isolates
                 // each OUTSIDE corner; otherwise isolates each inside corner
@@ -370,10 +466,15 @@ struct Extractor {
             ref[0] /= n_in; ref[1] /= n_in; ref[2] /= n_in;
         }
 
+        // chain contour segments into closed loops (collected first:
+        // method 2 may stitch two loops into a tunnel band)
+        int loops[4][12];
+        int loop_n[4] = {0, 0, 0, 0};
+        int n_loops = 0;
         bool used[12] = {false};
-        for (int e0 = 0; e0 < 12; ++e0) {
+        for (int e0 = 0; e0 < 12 && n_loops < 4; ++e0) {
             if (pcount[e0] == 0 || used[e0]) continue;
-            int loop[12];
+            int* loop = loops[n_loops];
             int n = 0;
             int prev = -1, cur = e0;
             do {
@@ -385,18 +486,197 @@ struct Extractor {
                 cur = nxt;
             } while (cur != e0 && n < 12);
             if (n < 3) continue;
-            int32_t vid[12];
-            for (int i = 0; i < n; ++i)
-                vid[i] = edge_vertex_v(base + off[EDGE_C[loop[i]][0]],
-                                       base + off[EDGE_C[loop[i]][1]],
-                                       v[EDGE_C[loop[i]][0]],
-                                       v[EDGE_C[loop[i]][1]]);
+            loop_n[n_loops++] = n;
+        }
+
+        int32_t vids[4][12];
+        for (int li = 0; li < n_loops; ++li)
+            for (int i = 0; i < loop_n[li]; ++i)
+                vids[li][i] = edge_vertex_v(
+                    base + off[EDGE_C[loops[li][i]][0]],
+                    base + off[EDGE_C[loops[li][i]][1]],
+                    v[EDGE_C[loops[li][i]][0]],
+                    v[EDGE_C[loops[li][i]][1]]);
+
+        // method 2 interior test: loops whose inside-corner sets connect
+        // through the trilinear interior form a tunnel (one annulus), not
+        // two caps (what Lewiner's interior tests t4/t6/.../t13 decide)
+        int group_of[4] = {0, 1, 2, 3};
+        if (method == 2 && n_loops >= 2) {
+            uint8_t in_mask[4] = {0, 0, 0, 0};
+            for (int li = 0; li < n_loops; ++li)
+                for (int i = 0; i < loop_n[li]; ++i) {
+                    int ca = EDGE_C[loops[li][i]][0];
+                    int cb = EDGE_C[loops[li][i]][1];
+                    in_mask[li] |= (uint8_t)(1 << (in[ca] ? ca : cb));
+                }
+            int comp[8];
+            interior_components(v, comp);
+            for (int a = 0; a < n_loops; ++a)
+                for (int b = a + 1; b < n_loops; ++b) {
+                    bool joined = false;
+                    for (int ca = 0; ca < 8 && !joined; ++ca) {
+                        if (!(in_mask[a] >> ca & 1) || comp[ca] < 0)
+                            continue;
+                        for (int cb = 0; cb < 8; ++cb)
+                            if ((in_mask[b] >> cb & 1)
+                                    && comp[cb] == comp[ca]) {
+                                joined = true;
+                                break;
+                            }
+                    }
+                    if (joined) {
+                        int ga = group_of[a], gb = group_of[b];
+                        for (int k = 0; k < n_loops; ++k)
+                            if (group_of[k] == gb) group_of[k] = ga;
+                    }
+                }
+        }
+
+        bool done[4] = {false, false, false, false};
+        for (int a = 0; a < n_loops; ++a) {
+            if (done[a]) continue;
+            int partner_loop = -1;
+            for (int b = a + 1; b < n_loops; ++b)
+                if (!done[b] && group_of[b] == group_of[a]) {
+                    partner_loop = (partner_loop < 0) ? b : -2;
+                }
+            if (partner_loop >= 0) {
+                // tunnel: stitch the two loops into a band
+                stitch_band(vids[a], loop_n[a], vids[partner_loop],
+                            loop_n[partner_loop], ref);
+                done[a] = done[partner_loop] = true;
+                continue;
+            }
+            // cap (or >2 joined loops — not representable as one band;
+            // fall back to caps, the method-0 behavior)
+            done[a] = true;
+            int n = loop_n[a];
+            const int32_t* vid = vids[a];
             for (int i = 1; i + 1 < n; ++i) {
                 if (vid[0] == vid[i] || vid[i] == vid[i + 1]
                         || vid[0] == vid[i + 1])
                     continue;  // degenerate (crossing at a shared corner)
                 emit(vid[0], vid[i], vid[i + 1], ref);
             }
+        }
+    }
+
+    // connected components of {trilinear F inside} sampled on a (K+1)^3
+    // sub-lattice of the cube; returns per-corner component label (-1 for
+    // outside corners). K=8 resolves every tunnel geometry a trilinear
+    // interpolant can form at well over the f32 noise floor.
+    void interior_components(const float* v, int comp[8]) const {
+        static const int K = 8;
+        static const int NS = (K + 1) * (K + 1) * (K + 1);
+        int lbl[NS];
+        // corner order: 0:(0,0,0) 1:(1,0,0) 2:(1,1,0) 3:(0,1,0)
+        //               4:(0,0,1) 5:(1,0,1) 6:(1,1,1) 7:(0,1,1)
+        for (int ix = 0; ix <= K; ++ix) {
+            float x = (float)ix / K;
+            for (int iy = 0; iy <= K; ++iy) {
+                float y = (float)iy / K;
+                for (int iz = 0; iz <= K; ++iz) {
+                    float z = (float)iz / K;
+                    float f =
+                        v[0] * (1 - x) * (1 - y) * (1 - z)
+                        + v[1] * x * (1 - y) * (1 - z)
+                        + v[2] * x * y * (1 - z)
+                        + v[3] * (1 - x) * y * (1 - z)
+                        + v[4] * (1 - x) * (1 - y) * z
+                        + v[5] * x * (1 - y) * z
+                        + v[6] * x * y * z
+                        + v[7] * (1 - x) * y * z;
+                    bool ins = ascent ? (f > level) : (f < level);
+                    int id = (ix * (K + 1) + iy) * (K + 1) + iz;
+                    lbl[id] = ins ? id : -1;
+                }
+            }
+        }
+        // label propagation to fixpoint (tiny lattice; ~K iterations)
+        bool changed = true;
+        while (changed) {
+            changed = false;
+            for (int ix = 0; ix <= K; ++ix)
+                for (int iy = 0; iy <= K; ++iy)
+                    for (int iz = 0; iz <= K; ++iz) {
+                        int id = (ix * (K + 1) + iy) * (K + 1) + iz;
+                        if (lbl[id] < 0) continue;
+                        const int nb[6] = {
+                            ix > 0 ? id - (K + 1) * (K + 1) : -1,
+                            ix < K ? id + (K + 1) * (K + 1) : -1,
+                            iy > 0 ? id - (K + 1) : -1,
+                            iy < K ? id + (K + 1) : -1,
+                            iz > 0 ? id - 1 : -1,
+                            iz < K ? id + 1 : -1};
+                        for (int k = 0; k < 6; ++k)
+                            if (nb[k] >= 0 && lbl[nb[k]] >= 0
+                                    && lbl[nb[k]] < lbl[id]) {
+                                lbl[id] = lbl[nb[k]];
+                                changed = true;
+                            }
+                    }
+        }
+        static const int CX[8] = {0, 1, 1, 0, 0, 1, 1, 0};
+        static const int CY[8] = {0, 0, 1, 1, 0, 0, 1, 1};
+        static const int CZ[8] = {0, 0, 0, 0, 1, 1, 1, 1};
+        for (int c = 0; c < 8; ++c)
+            comp[c] = lbl[(CX[c] * K * (K + 1) + CY[c] * K) * (K + 1)
+                          + CZ[c] * K];
+    }
+
+    // stitch two closed loops of welded vertex ids into a triangle band
+    // (annulus). Direction/offset of the second loop chosen to minimize
+    // total bridge length; triangles oriented by emit() against `ref`.
+    void stitch_band(const int32_t* a, int na, const int32_t* b, int nb,
+                     const float* ref) {
+        const float* V = mesh.verts.data();
+        auto dist2 = [&](int32_t p, int32_t q) {
+            float dx = V[3 * p] - V[3 * q];
+            float dy = V[3 * p + 1] - V[3 * q + 1];
+            float dz = V[3 * p + 2] - V[3 * q + 2];
+            return dx * dx + dy * dy + dz * dz;
+        };
+        int best_off = 0, best_dir = 1;
+        float best_cost = 1e30f;
+        for (int dir = -1; dir <= 1; dir += 2) {
+            for (int off = 0; off < nb; ++off) {
+                // cost proxy: bridge lengths of the aligned pairing
+                float cost = 0.f;
+                for (int i = 0; i < na; ++i) {
+                    int j = (off + dir * (i * nb / na)) % nb;
+                    if (j < 0) j += nb;
+                    cost += dist2(a[i], b[j]);
+                }
+                if (cost < best_cost) {
+                    best_cost = cost;
+                    best_off = off;
+                    best_dir = dir;
+                }
+            }
+        }
+        int32_t bb[12];
+        for (int j = 0; j < nb; ++j) {
+            int k = (best_off + best_dir * j) % nb;
+            if (k < 0) k += nb;
+            bb[j] = b[k];
+        }
+        // zip the two rings by fractional progress
+        int i = 0, j = 0;
+        while (i < na || j < nb) {
+            bool adv_a = (i < na)
+                && (j >= nb
+                    || (float)(i + 1) * nb <= (float)(j + 1) * na);
+            int32_t t0, t1, t2;
+            if (adv_a) {
+                t0 = a[i % na]; t1 = a[(i + 1) % na]; t2 = bb[j % nb];
+                ++i;
+            } else {
+                t0 = a[i % na]; t1 = bb[(j + 1) % nb]; t2 = bb[j % nb];
+                ++j;
+            }
+            if (t0 == t1 || t1 == t2 || t0 == t2) continue;
+            emit(t0, t1, t2, ref);
         }
     }
 
@@ -407,11 +687,14 @@ struct Extractor {
         off[7] = syv + szv;
     }
 
-    int method = 0;  // 0 = marching cubes, 1 = marching tetrahedra
+    // 0 = marching cubes (procedural), 1 = marching tetrahedra,
+    // 2 = trilinear-topology marching cubes (asymptotic decider + interior
+    //     tunnel test; shares process_cube_mc)
+    int method = 0;
 
     inline void process_cube(int64_t base, const int64_t* corner_off,
                              const float* vin = nullptr) {
-        if (method == 0) {
+        if (method != 1) {
             process_cube_mc(base, corner_off, vin);
             return;
         }
@@ -624,7 +907,7 @@ extern "C" {
 static void copy_mesh_out(const Mesh& mesh,
                           float** verts_out, int64_t* nv_out,
                           int32_t** faces_out, int64_t* nf_out,
-                          float** values_out) {
+                          float** values_out, float** normals_out) {
     int64_t nv = (int64_t)(mesh.verts.size() / 3);
     int64_t nf = (int64_t)(mesh.faces.size() / 3);
     *nv_out = nv;
@@ -636,6 +919,11 @@ static void copy_mesh_out(const Mesh& mesh,
     if (values_out) {
         *values_out = (float*)malloc(sizeof(float) * (nv ? nv : 1));
         if (nv) memcpy(*values_out, mesh.values.data(), sizeof(float) * nv);
+    }
+    if (normals_out) {
+        *normals_out = (float*)malloc(sizeof(float) * 3 * (nv ? nv : 1));
+        if (nv) memcpy(*normals_out, mesh.normals.data(),
+                       sizeof(float) * 3 * nv);
     }
 }
 
@@ -650,12 +938,14 @@ int extract_isosurface(
         float level, float sx, float sy, float sz, int ascent, int method,
         float** verts_out, int64_t* nv_out,
         int32_t** faces_out, int64_t* nf_out,
-        float** values_out) {
+        float** values_out, float** normals_out) {
     Extractor ex(vol, nx, ny, nz, level, sx, sy, sz, ascent != 0);
     ex.method = method;
     ex.want_values = values_out != nullptr;
+    ex.want_normals = normals_out != nullptr;
     ex.run();
-    copy_mesh_out(ex.mesh, verts_out, nv_out, faces_out, nf_out, values_out);
+    copy_mesh_out(ex.mesh, verts_out, nv_out, faces_out, nf_out, values_out,
+                  normals_out);
     return 0;
 }
 
@@ -669,13 +959,15 @@ int extract_isosurface_active(
         float level, float sx, float sy, float sz, int ascent, int method,
         float** verts_out, int64_t* nv_out,
         int32_t** faces_out, int64_t* nf_out,
-        float** values_out) {
+        float** values_out, float** normals_out) {
     Extractor ex(nullptr, nx, ny, nz, level, sx, sy, sz, ascent != 0,
                  (size_t)n_active);
     ex.method = method;
     ex.want_values = values_out != nullptr;
+    ex.want_normals = normals_out != nullptr;
     ex.run_active(cube_idx, corner_vals, n_active);
-    copy_mesh_out(ex.mesh, verts_out, nv_out, faces_out, nf_out, values_out);
+    copy_mesh_out(ex.mesh, verts_out, nv_out, faces_out, nf_out, values_out,
+                  normals_out);
     return 0;
 }
 
@@ -698,11 +990,12 @@ int extract_isosurface_bricks(
         int ascent, int method,
         float** verts_out, int64_t* nv_out,
         int32_t** faces_out, int64_t* nf_out,
-        int32_t** ranks_out, float** values_out) {
+        int32_t** ranks_out, float** values_out, float** normals_out) {
     Extractor ex(nullptr, nx, ny, nz, level, sx, sy, sz, ascent != 0,
                  (size_t)n_bricks * 8);
     ex.method = method;
     ex.want_values = values_out != nullptr;
+    ex.want_normals = normals_out != nullptr;
     ex.bricks = brick_vals;
     ex.qscale = qscale;
     ex.nbx = nx / 4; ex.nby = ny / 4; ex.nbz = nz / 4;
@@ -716,7 +1009,8 @@ int extract_isosurface_bricks(
         ex.build_cross_ranks(brick_idx, n_bricks);
     }
     ex.run_bricks(brick_idx, n_bricks);
-    copy_mesh_out(ex.mesh, verts_out, nv_out, faces_out, nf_out, values_out);
+    copy_mesh_out(ex.mesh, verts_out, nv_out, faces_out, nf_out, values_out,
+                  normals_out);
     if (ranks_out) {
         int64_t nv = *nv_out;
         *ranks_out = (int32_t*)malloc(sizeof(int32_t) * (nv ? nv : 1));

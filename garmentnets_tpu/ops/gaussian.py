@@ -66,14 +66,24 @@ def gaussian_gradient_magnitude(volume: jax.Array, sigma: float,
     """|grad(G_sigma * volume)| over the last three axes (scipy semantics,
     mode='nearest'). volume: [..., D, H, W].
 
-    backend: 'xla' (default; works everywhere incl. GSPMD-sharded jits)
-    or 'pallas' (ops/gaussian_pallas fused single-pass kernel; 4-D
-    [B, D, H, W] single-device only). GARMENTNETS_GGM sets it globally.
-    The env var is resolved HERE, outside the jit boundary — resolving
-    it inside would bake the first-seen value into the trace cache.
+    backend: 'xla' (works everywhere incl. GSPMD-sharded jits),
+    'pallas' (ops/gaussian_pallas fused single-pass kernel; 4-D
+    [B, D, H, W] single-device only), or 'auto' (the default: probe-pick
+    the fused kernel where it compiles — measured 9.4 -> 3.9 ms at
+    128^3 B=8 on a v5e chip, docs/PERF.md). GARMENTNETS_GGM sets it
+    globally. The env var is resolved HERE, outside the jit boundary —
+    resolving it inside would bake the first-seen value into the trace
+    cache.
     """
     import os
-    backend = backend or os.environ.get("GARMENTNETS_GGM", "xla")
+    backend = backend or os.environ.get("GARMENTNETS_GGM", "auto")
+    if backend == "auto":
+        if volume.ndim == 4:
+            from garmentnets_tpu.ops.gaussian_pallas import (
+                ggm_pallas_available)
+            backend = "pallas" if ggm_pallas_available()[0] else "xla"
+        else:
+            backend = "xla"
     if backend == "pallas" and volume.ndim == 4:
         from garmentnets_tpu.ops.gaussian_pallas import ggm_pallas
         return ggm_pallas(volume, sigma, truncate)

@@ -13,11 +13,16 @@ mode='nearest' exactly like the XLA path (same _gaussian_kernel1d taps,
 edge-replicate borders); exactness is tested against both.
 
 Selection: gaussian_gradient_magnitude(backend=...) or
-GARMENTNETS_GGM={xla,pallas}; the Pallas path is single-device (the
-predict engine keeps XLA when running mesh-sharded — a pallas_call
-inside a GSPMD-partitioned jit cannot be split by the partitioner).
+GARMENTNETS_GGM={xla,pallas,auto}; 'auto' (the default) probe-picks
+this kernel where it compiles (verified on chip,
+tests/test_hw_chip.py::test_fused_ggm_on_chip; measured 9.4 -> 3.9 ms
+at 128^3 B=8). The Pallas path is single-device (the predict engine
+keeps XLA when running mesh-sharded — a pallas_call inside a
+GSPMD-partitioned jit cannot be split by the partitioner).
 """
 from __future__ import annotations
+
+import functools
 
 import numpy as np
 import jax
@@ -102,3 +107,23 @@ def ggm_pallas(volume: jax.Array, sigma: float, truncate: float = 4.0,
         out_shape=jax.ShapeDtypeStruct((B, D, H, W), volume.dtype),
         cost_estimate=cost, interpret=interpret,
     )(win)
+
+
+@functools.lru_cache(maxsize=1)
+def ggm_pallas_available() -> tuple:
+    """(ok, reason): probe-compile a tiny fused ggm on the default backend
+    (drives the 'auto' dispatch in ops/gaussian, mirroring
+    dense_decode_pallas.fused_decode_available). Genuine can't-compile
+    failures cache for the process lifetime; transient device errors clear
+    the cache so a later 'auto' dispatch re-probes."""
+    try:
+        vol = jnp.asarray(
+            np.random.RandomState(0).rand(1, 8, 8, 8), jnp.float32)
+        np.asarray(jax.jit(lambda v: ggm_pallas(v, 0.5))(vol))
+        return True, ""
+    except Exception as e:  # noqa: BLE001 — any backend failure
+        msg = repr(e)
+        if any(s in msg for s in
+               ("UNAVAILABLE", "Unable to initialize", "DEADLINE")):
+            ggm_pallas_available.cache_clear()
+        return False, msg

@@ -57,7 +57,7 @@ def _load_lib():
             ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
             ctypes.c_float, ctypes.c_float, ctypes.c_float, ctypes.c_float,
             ctypes.c_int, ctypes.c_int,
-        ] + out_args + [float_pp]
+        ] + out_args + [float_pp, float_pp]
         lib.extract_isosurface_active.restype = ctypes.c_int
         lib.extract_isosurface_active.argtypes = [
             ctypes.POINTER(ctypes.c_int32),
@@ -65,7 +65,7 @@ def _load_lib():
             ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
             ctypes.c_float, ctypes.c_float, ctypes.c_float, ctypes.c_float,
             ctypes.c_int, ctypes.c_int,
-        ] + out_args + [float_pp]
+        ] + out_args + [float_pp, float_pp]
         lib.extract_isosurface_bricks.restype = ctypes.c_int
         lib.extract_isosurface_bricks.argtypes = [
             ctypes.POINTER(ctypes.c_int32),
@@ -75,7 +75,7 @@ def _load_lib():
             ctypes.c_float, ctypes.c_float, ctypes.c_float,
             ctypes.c_int, ctypes.c_int,
         ] + out_args + [ctypes.POINTER(ctypes.POINTER(ctypes.c_int32)),
-                        float_pp]
+                        float_pp, float_pp]
         lib.mt_free.argtypes = [ctypes.c_void_p]
         _LIB = lib
     except Exception:
@@ -83,7 +83,7 @@ def _load_lib():
     return _LIB
 
 
-_METHOD_CODE = {"cubes": 0, "tetrahedra": 1}
+_METHOD_CODE = {"cubes": 0, "tetrahedra": 1, "trilinear": 2}
 
 
 def _mc_native(vol, level, spacing, ascent, method="cubes"):
@@ -98,18 +98,22 @@ def _mc_native(vol, level, spacing, ascent, method="cubes"):
         _METHOD_CODE[method]), want_values=True)
 
 
-def _collect_mesh(lib_fn, args, want_values: bool = False):
-    """Marshal (verts, faces[, values]) out of a C extractor call. The C
-    functions take a trailing nullable float** values_out."""
+def _collect_mesh(lib_fn, args, want_values: bool = False,
+                  want_normals: bool = False):
+    """Marshal (verts, faces[, values][, normals]) out of a C extractor
+    call. The C functions take trailing nullable float** values_out /
+    normals_out."""
     verts_p = ctypes.POINTER(ctypes.c_float)()
     faces_p = ctypes.POINTER(ctypes.c_int32)()
     values_p = ctypes.POINTER(ctypes.c_float)()
+    normals_p = ctypes.POINTER(ctypes.c_float)()
     nv = ctypes.c_int64()
     nf = ctypes.c_int64()
     lib = _load_lib()
     lib_fn(*args, ctypes.byref(verts_p), ctypes.byref(nv),
            ctypes.byref(faces_p), ctypes.byref(nf),
-           ctypes.byref(values_p) if want_values else None)
+           ctypes.byref(values_p) if want_values else None,
+           ctypes.byref(normals_p) if want_normals else None)
     try:
         verts = np.ctypeslib.as_array(
             verts_p, shape=(max(nv.value, 1), 3)).copy()[: nv.value]
@@ -118,14 +122,21 @@ def _collect_mesh(lib_fn, args, want_values: bool = False):
         if want_values:
             values = np.ctypeslib.as_array(
                 values_p, shape=(max(nv.value, 1),)).copy()[: nv.value]
+        if want_normals:
+            normals = np.ctypeslib.as_array(
+                normals_p, shape=(max(nv.value, 1), 3)).copy()[: nv.value]
     finally:
         lib.mt_free(verts_p)
         lib.mt_free(faces_p)
         if want_values:
             lib.mt_free(values_p)
+        if want_normals:
+            lib.mt_free(normals_p)
     out = (verts.astype(np.float32), faces.astype(np.int64))
     if want_values:
         out += (values.astype(np.float32),)
+    if want_normals:
+        out += (normals.astype(np.float32),)
     return out
 
 
@@ -174,7 +185,8 @@ def marching_cubes_bricks(brick_idx: np.ndarray, brick_vals_q: np.ndarray,
                           gradient_direction: str = "ascent",
                           method: str = "cubes",
                           return_ranks: bool = False,
-                          return_values: bool = False):
+                          return_values: bool = False,
+                          return_normals: bool = False):
     """Isosurface from device-extracted int8 bricks (the predict engine's
     production wire format — ops/isosurface.extract_active_bricks).
 
@@ -185,11 +197,16 @@ def marching_cubes_bricks(brick_idx: np.ndarray, brick_vals_q: np.ndarray,
     through bricks_to_cube_list. Returns (verts, faces), extended by
     `values` with return_values (per-vertex edge-endpoint max — skimage's
     `values` output, from the dequantized int8 field so within 1/QUANT_SCALE
-    of the true WNF) and/or by `ranks` with return_ranks, where ranks[i] is
+    of the true WNF), by `normals` with return_normals (unit volume-gradient
+    normals: central differences of the dequantized field at the edge
+    endpoints, lerped at the vertex — skimage-semantics gradient normals,
+    reference predict.py:172-197; one-sided where a neighbor brick was not
+    shipped), and/or by `ranks` with return_ranks, where ranks[i] is
     vertex i's index in the device's canonical crossing-edge enumeration
     (ops/isosurface.extract_crossing_edges) for looking up on-device
-    warp-query results; order (verts, faces[, values][, ranks]). Raises
-    ValueError when no surface is produced (NaN-sentinel protocol parity)."""
+    warp-query results; order (verts, faces[, values][, normals][, ranks]).
+    Raises ValueError when no surface is produced (NaN-sentinel protocol
+    parity)."""
     from garmentnets_tpu.ops.isosurface import (
         VAL_QUANT_SCALE, bricks_to_cube_list)
     brick_idx = np.ascontiguousarray(brick_idx, np.int32)
@@ -209,12 +226,14 @@ def marching_cubes_bricks(brick_idx: np.ndarray, brick_vals_q: np.ndarray,
         # compute them at all)
         raise ValueError("return_ranks requires method='cubes'")
     ranks = None
+    normals = None
     if _load_lib() is not None:
         lib = _load_lib()
         verts_p = ctypes.POINTER(ctypes.c_float)()
         faces_p = ctypes.POINTER(ctypes.c_int32)()
         ranks_p = ctypes.POINTER(ctypes.c_int32)()
         values_p = ctypes.POINTER(ctypes.c_float)()
+        normals_p = ctypes.POINTER(ctypes.c_float)()
         nv = ctypes.c_int64()
         nf = ctypes.c_int64()
         lib.extract_isosurface_bricks(
@@ -228,7 +247,8 @@ def marching_cubes_bricks(brick_idx: np.ndarray, brick_vals_q: np.ndarray,
             ctypes.byref(verts_p), ctypes.byref(nv),
             ctypes.byref(faces_p), ctypes.byref(nf),
             ctypes.byref(ranks_p) if return_ranks else None,
-            ctypes.byref(values_p) if return_values else None)
+            ctypes.byref(values_p) if return_values else None,
+            ctypes.byref(normals_p) if return_normals else None)
         try:
             verts = np.ctypeslib.as_array(
                 verts_p, shape=(max(nv.value, 1), 3)).copy()[: nv.value]
@@ -240,6 +260,10 @@ def marching_cubes_bricks(brick_idx: np.ndarray, brick_vals_q: np.ndarray,
             if return_values:
                 values = np.ctypeslib.as_array(
                     values_p, shape=(max(nv.value, 1),)).copy()[: nv.value]
+            if return_normals:
+                normals = np.ctypeslib.as_array(
+                    normals_p,
+                    shape=(max(nv.value, 1), 3)).copy()[: nv.value]
         finally:
             lib.mt_free(verts_p)
             lib.mt_free(faces_p)
@@ -247,6 +271,8 @@ def marching_cubes_bricks(brick_idx: np.ndarray, brick_vals_q: np.ndarray,
                 lib.mt_free(ranks_p)
             if return_values:
                 lib.mt_free(values_p)
+            if return_normals:
+                lib.mt_free(normals_p)
         verts = verts.astype(np.float32)
         faces = faces.astype(np.int64)
     else:
@@ -267,14 +293,82 @@ def marching_cubes_bricks(brick_idx: np.ndarray, brick_vals_q: np.ndarray,
         if return_ranks:
             ranks = _ranks_from_edge_keys(
                 edge_keys, brick_idx, brick_vals_q, level, dims)
+        if return_normals:
+            if edge_keys is None:
+                raise NotImplementedError(
+                    "return_normals python fallback requires "
+                    "method='cubes'")
+            normals = _brick_grad_normals_py(
+                edge_keys, brick_idx, brick_vals_q, level, dims, spacing,
+                ascent)
     if len(verts) == 0 or len(faces) == 0:
         raise ValueError("no surface found at given iso level")
     out = (verts, faces)
     if return_values:
         out += (values.astype(np.float32),)
+    if return_normals:
+        out += (normals.astype(np.float32),)
     if return_ranks:
         out += (ranks,)
     return out if len(out) > 2 else (verts, faces)
+
+
+def _brick_grad_normals_py(edge_keys, brick_idx, brick_vals_q, level, dims,
+                           spacing, ascent):
+    """Python mirror of the C++ kernel's want_normals path: unit volume-
+    gradient normals at each vertex's edge, central differences on the
+    dequantized brick field with one-sided fallback where a neighbor value
+    is unavailable, lerped by the vertex's edge parameter t."""
+    from garmentnets_tpu.ops.isosurface import VAL_QUANT_SCALE, BLOCK
+    nx, ny, nz = dims
+    nbx, nby, nbz = nx // BLOCK, ny // BLOCK, nz // BLOCK
+    row_of = np.full(nbx * nby * nbz, -1, np.int64)
+    keep = np.asarray(brick_idx) >= 0
+    row_of[np.asarray(brick_idx)[keep].astype(np.int64)] = \
+        np.flatnonzero(keep)
+    q = np.asarray(brick_vals_q).reshape(len(brick_idx), 64)
+
+    def val(x, y, z):
+        if not (0 <= x < nx and 0 <= y < ny and 0 <= z < nz):
+            return None
+        row = row_of[((x // 4) * nby + (y // 4)) * nbz + (z // 4)]
+        if row < 0:
+            return None
+        qq = q[row, ((x % 4) << 4) | ((y % 4) << 2) | (z % 4)]
+        return np.float32(qq) / np.float32(VAL_QUANT_SCALE) \
+            + np.float32(level)
+
+    def grad(x, y, z):
+        g = np.zeros(3, np.float32)
+        c = (x, y, z)
+        for a in range(3):
+            pp = list(c)
+            pp[a] += 1
+            vp = val(*pp)
+            pp[a] -= 2
+            vm = val(*pp)
+            v0 = val(*c)
+            if vp is not None and vm is not None:
+                g[a] = (vp - vm) / (2 * spacing[a])
+            elif vp is not None:
+                g[a] = (vp - v0) / spacing[a]
+            elif vm is not None:
+                g[a] = (v0 - vm) / spacing[a]
+        return g
+
+    out = np.zeros((len(edge_keys), 3), np.float32)
+    for i, (ga, gb) in enumerate(edge_keys):
+        ax, ay, az = ga // (nz * ny), (ga // nz) % ny, ga % nz
+        bx, by, bz = gb // (nz * ny), (gb // nz) % ny, gb % nz
+        va, vb = val(ax, ay, az), val(bx, by, bz)
+        t = np.float32(0.5) if vb == va else \
+            min(max((np.float32(level) - va) / (vb - va),
+                    np.float32(0)), np.float32(1))
+        n = grad(ax, ay, az)
+        n = n + t * (grad(bx, by, bz) - n)
+        ln = float(np.linalg.norm(n))
+        out[i] = n * ((-1.0 if ascent else 1.0) / (ln if ln > 0 else 1.0))
+    return out
 
 
 def _ranks_from_edge_keys(edge_keys, brick_idx, brick_vals_q, level, dims):
@@ -621,10 +715,13 @@ def marching_cubes(volume: np.ndarray, level: float,
                    ) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
     """skimage.measure.marching_cubes-compatible facade.
 
-    method: 'cubes' (Lewiner-density, default) or 'tetrahedra' (module
-    docstring). Raises ValueError if `level` is outside the volume's value
-    range (predict's NaN-sentinel protocol depends on this,
-    predict.py:165-189).
+    method: 'cubes' (Lewiner-density, default), 'tetrahedra', or
+    'trilinear' (trilinear-topology ambiguity resolution — asymptotic
+    decider + interior tunnel test, the topology class skimage's Lewiner
+    tables encode; C++ kernel only, used to measure the procedural
+    deviation bound in docs/PARITY.md). Raises ValueError if `level` is
+    outside the volume's value range (predict's NaN-sentinel protocol
+    depends on this, predict.py:165-189).
     """
     volume = np.asarray(volume, np.float32)
     if not (volume.min() < level < volume.max()):
@@ -638,6 +735,10 @@ def marching_cubes(volume: np.ndarray, level: float,
     elif method == "cubes":
         verts, faces, values = _mc_python_cubes(
             volume, level, spacing, ascent)
+    elif method == "trilinear":
+        raise NotImplementedError(
+            "method='trilinear' requires the C++ kernel (no toolchain "
+            "found to build ops/cpp/marching.cpp)")
     else:
         verts, faces, values = _mc_numpy(volume, level, spacing, ascent)
     if len(verts) == 0:

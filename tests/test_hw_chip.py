@@ -154,10 +154,14 @@ def test_engine_roundtrip_small():
         if m is None:
             continue
         got_any = True
-        verts, faces, values = m
+        verts, faces, values, normals = m
         assert np.isfinite(verts).all()
         assert faces.max() < len(verts)
         assert (values >= engine.iso_level - 5e-3).all()
+        assert normals.shape == (len(verts), 3)
+        # unit gradient normals (zero only if the local gradient vanishes)
+        nn = np.linalg.norm(normals, axis=1)
+        assert ((np.abs(nn - 1) < 1e-3) | (nn == 0)).all()
         assert w["warp_field"].shape == (len(verts), 3)
         assert np.isfinite(np.asarray(w["warp_field"], np.float32)).all()
         assert w["verts_ggm"].shape == (len(verts),)

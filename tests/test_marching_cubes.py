@@ -124,3 +124,138 @@ def test_delete_invalid_verts():
     v2, f2 = delete_invalid_verts(verts, faces, on_surface)
     assert len(f2) == 1
     np.testing.assert_array_equal(v2[f2[0]], verts[[0, 1, 2]])
+
+
+def test_brick_gradient_normals():
+    """Brick-path volume-gradient normals (VERDICT r2 #7): unit length,
+    radial on a sphere field (outward under 'ascent' of inside-positive),
+    and the C++ kernel agrees with the pure-Python mirror."""
+    jnp = pytest.importorskip("jax.numpy")
+    from garmentnets_tpu.ops.isosurface import (
+        extract_active_bricks, pack_brick_pages, unpack_brick_pages)
+    from garmentnets_tpu.ops.marching_cubes import marching_cubes_bricks
+    import garmentnets_tpu.ops.marching_cubes as mcmod
+    n = 32
+    vol = _sphere_volume(n) + 0.5          # iso at 0.5, inside > 0.5
+    spacing = (1 / (n - 1),) * 3
+    base, vals, counts = extract_active_bricks(
+        jnp.asarray(vol[None]), 0.5, 512)
+    k = int(np.asarray(counts)[0])
+    assert 0 < k <= 512
+    bi_p, bv_p = unpack_brick_pages(pack_brick_pages(base, vals, 512))
+    bi = np.asarray(bi_p[0, :k])
+    bv = np.asarray(bv_p[0, :k])
+    verts, faces, values, normals = marching_cubes_bricks(
+        bi, bv, (n, n, n), 0.5, spacing, gradient_direction="ascent",
+        return_values=True, return_normals=True)
+    assert normals.shape == (len(verts), 3)
+    nn = np.linalg.norm(normals, axis=1)
+    np.testing.assert_allclose(nn, 1.0, atol=1e-4)
+    # field = r - |x - c|: gradient points inward, so ascent normals
+    # (-gradient) point radially OUTWARD
+    d = np.linalg.norm(verts - 0.5, axis=1)
+    radial = (verts - 0.5) / d[:, None]
+    align = np.sum(normals * radial, axis=1)
+    assert np.median(align) > 0.95
+    assert (align > 0.5).mean() > 0.95
+
+    if _load_lib() is None:
+        pytest.skip("no C++ toolchain; python path already exercised")
+    # python mirror == C++ kernel (same edges -> same normals)
+    saved = mcmod._LIB
+    try:
+        mcmod._LIB = None
+        mcmod._LIB_FAILED = True
+        v2, f2, vals2, n2 = marching_cubes_bricks(
+            bi, bv, (n, n, n), 0.5, spacing, gradient_direction="ascent",
+            return_values=True, return_normals=True)
+    finally:
+        mcmod._LIB = saved
+        mcmod._LIB_FAILED = False
+    assert len(v2) == len(verts)
+    # weld order may differ between backends: match by vertex position
+    order1 = np.lexsort(verts.T)
+    order2 = np.lexsort(v2.T)
+    np.testing.assert_allclose(verts[order1], v2[order2], atol=1e-6)
+    np.testing.assert_allclose(
+        normals[order1], n2[order2], rtol=1e-4, atol=1e-5)
+
+
+def _single_cube_volume(corner_vals):
+    """2x2x2 volume with the 8 documented corner values (corner order
+    0:(0,0,0) 1:(1,0,0) 2:(1,1,0) 3:(0,1,0) 4..7 at z=1)."""
+    v = np.zeros((2, 2, 2), np.float32)
+    order = [(0, 0, 0), (1, 0, 0), (1, 1, 0), (0, 1, 0),
+             (0, 0, 1), (1, 0, 1), (1, 1, 1), (0, 1, 1)]
+    for c, (x, y, z) in enumerate(order):
+        v[x, y, z] = corner_vals[c]
+    return v
+
+
+def test_trilinear_interior_tunnel_vs_caps():
+    """method='trilinear' (VERDICT r2 #6): the diagonal case-4 cube.
+    When the trilinear interior connects the two inside corners the mode
+    emits a tunnel band (6 tris over the 6 crossing-edge verts); when it
+    does not, two caps (2 tris) — which is also what method='cubes'
+    always produces."""
+    if _load_lib() is None:
+        pytest.skip("trilinear mode requires the C++ kernel")
+    level = 0.5
+    # corners 0 and 6 inside; others at `lo`. F(center) = (2 + 6*lo)/8:
+    # lo=0.45 -> 0.5875 > level (tunnel); lo=0.1 -> 0.325 < level (caps)
+    for lo, tunnel in ((0.45, True), (0.1, False)):
+        cv = [lo] * 8
+        cv[0] = cv[6] = 1.0
+        vol = _single_cube_volume(cv)
+        vt, ft, _, _ = marching_cubes(vol, level, method="trilinear")
+        vc, fc, _, _ = marching_cubes(vol, level, method="cubes")
+        assert len(vt) == 6 and len(vc) == 6  # same crossing-edge verts
+        assert len(fc) == 2                    # cubes: always two caps
+        if tunnel:
+            assert len(ft) == 6, "trilinear should emit a 6-tri band"
+            # the band is a closed annulus: every mesh edge shared by
+            # exactly 2 faces along the tube direction... at least assert
+            # it connects both triangles' vertex sets
+            assert set(ft.flatten()) == set(range(6))
+        else:
+            assert len(ft) == 2, "disconnected interior -> two caps"
+
+
+def test_trilinear_face_decider_differs_from_average():
+    """A face-ambiguous config where the bilinear saddle and the face-center
+    average disagree: corners chosen so avg > level but saddle < level.
+    a=0.9, c=0.52, b=d=0.3 (level 0.5): avg=0.505 (joined), saddle =
+    (a'c' - b'd')/(a'+c'-b'-d') + L with primes = v - L: (0.4*0.02 -
+    0.04)/(0.4+0.02-0.4) + 0.5 = -1.6+0.5 < L (separated)."""
+    if _load_lib() is None:
+        pytest.skip("trilinear mode requires the C++ kernel")
+    level = 0.5
+    cv = [0.9, 0.3, 0.52, 0.3,    # z=0 face: diagonal 0/2 in, 1/3 out
+          0.1, 0.1, 0.1, 0.1]     # z=1 all out
+    vol = _single_cube_volume(cv)
+    vt, ft, _, _ = marching_cubes(vol, level, method="trilinear")
+    vc, fc, _, _ = marching_cubes(vol, level, method="cubes")
+    # same crossing edges either way (6 of them: 3 per inside corner)
+    assert len(vt) == len(vc) == 6
+    # both watertight around the two corners; the tilings differ
+    assert len(ft) >= 2 and len(fc) >= 2
+    tri_t = {tuple(sorted(f)) for f in ft.tolist()}
+    tri_c = {tuple(sorted(f)) for f in fc.tolist()}
+    assert tri_t != tri_c, "decider should change the ambiguous tiling"
+
+
+def test_trilinear_matches_cubes_on_smooth_field():
+    """On an ambiguity-free field the three ingredients (verts, faces,
+    values) of 'trilinear' coincide with 'cubes' exactly."""
+    if _load_lib() is None:
+        pytest.skip("trilinear mode requires the C++ kernel")
+    n = 24
+    vol = _sphere_volume(n)
+    spacing = (1 / (n - 1),) * 3
+    vt, ft, nt, valt = marching_cubes(
+        vol, 0.0, spacing=spacing, method="trilinear")
+    vc, fcs, ncs, valc = marching_cubes(
+        vol, 0.0, spacing=spacing, method="cubes")
+    np.testing.assert_array_equal(vt, vc)
+    np.testing.assert_array_equal(ft, fcs)
+    np.testing.assert_array_equal(valt, valc)

@@ -78,7 +78,18 @@ def main():
         lambda r: model.init(r, batch, train=False))(jax.random.PRNGKey(0))
     jax.block_until_ready(variables)
 
-    res = {}
+    class _PrintingDict(dict):
+        # a crash mid-run must not lose earlier measurements (a Mosaic
+        # NotImplementedError at one precision ate a full chip session's
+        # numbers once) -- print each row the moment it lands
+        def __setitem__(self, k, v):
+            if isinstance(v, float) and "err" not in k:
+                print(f"{k:<42s} {v*1e3:8.2f} ms", flush=True)
+            else:
+                print(f"{k:<42s} {v}", flush=True)
+            super().__setitem__(k, v)
+
+    res = _PrintingDict()
 
     # --- fps ---
     fps_fn = jax.jit(lambda p: pc.furthest_point_sampling(p, 3000))
@@ -165,12 +176,7 @@ def main():
     # program the predict loop runs; see geometry._winding_number_jax)
     res["FUSED encode"] = timeit(engine._encode, variables, x, pos, n=args.n)
 
-    width = max(len(k) for k in res)
-    for k, v in res.items():
-        if "err" in k:
-            print(f"{k:<{width}}  {v:.2e}")
-        else:
-            print(f"{k:<{width}}  {v*1e3:8.2f} ms")
+    print(f"-- {len(res)} rows measured --")
 
 
 if __name__ == "__main__":

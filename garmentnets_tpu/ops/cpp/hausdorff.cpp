@@ -236,4 +236,22 @@ double mesh_hausdorff_exact(
     return ab > ba ? ab : ba;
 }
 
+// Exact point-to-mesh distances: out[i] = distance from Q[i] to the
+// nearest triangle of (V, F). Used for surface-deviation measurement
+// (tools/measure_mc_parity.py): point-to-point chamfer between two
+// SAMPLINGS of the same surface is bounded below by the sample spacing,
+// so proper deviation bounds need point-to-TRIANGLE distances.
+void points_to_mesh_distances(
+        const double* Q, int64_t nq,
+        const double* V, int64_t nv, const int32_t* F, int64_t nf,
+        double* out) {
+    Tree tree;
+    tree.init(V, nv, F, nf);
+    for (int64_t i = 0; i < nq; ++i) {
+        Vec3 p = {Q[3 * i], Q[3 * i + 1], Q[3 * i + 2]};
+        out[i] = std::sqrt(
+            tree.query(p, std::numeric_limits<double>::infinity()));
+    }
+}
+
 }  // extern "C"

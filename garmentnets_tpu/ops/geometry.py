@@ -246,6 +246,13 @@ def _load_hausdorff_lib():
             ctypes.POINTER(ctypes.c_double), ctypes.c_int64,
             ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
         ]
+        lib.points_to_mesh_distances.restype = None
+        lib.points_to_mesh_distances.argtypes = [
+            ctypes.POINTER(ctypes.c_double), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_double), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_double),
+        ]
         _HAUSDORFF_LIB = lib
     except Exception:
         _HAUSDORFF_FAILED = True
@@ -297,6 +304,39 @@ def mesh_hausdorff(va: np.ndarray, fa: np.ndarray,
     d_ab = cKDTree(pb).query(pa, k=1)[0].max()
     d_ba = cKDTree(pa).query(pb, k=1)[0].max()
     return float(max(d_ab, d_ba))
+
+
+def points_to_mesh_distance(points: np.ndarray, verts: np.ndarray,
+                            faces: np.ndarray,
+                            num_samples: int = 50000,
+                            seed: int = 0) -> np.ndarray:
+    """Exact distance from each query point to the triangle mesh (AABB
+    tree + closest-point-on-triangle, ops/cpp/hausdorff.cpp). Fallback
+    without a C++ toolchain: distance to a dense surface sampling
+    (upper-bounded by the sample spacing; num_samples/seed apply there
+    only). Used for surface-DEVIATION measurement — point-to-point
+    chamfer between two samplings of the same surface floors at the
+    sample spacing, point-to-triangle does not."""
+    lib = _load_hausdorff_lib()
+    points = np.ascontiguousarray(points, np.float64).reshape(-1, 3)
+    if lib is not None:
+        import ctypes
+        v64 = np.ascontiguousarray(verts, np.float64)
+        f32v = np.ascontiguousarray(faces, np.int32).reshape(-1, 3)
+        out = np.empty(len(points), np.float64)
+        dp = ctypes.POINTER(ctypes.c_double)
+        ip = ctypes.POINTER(ctypes.c_int32)
+        lib.points_to_mesh_distances(
+            points.ctypes.data_as(dp), len(points),
+            v64.ctypes.data_as(dp), len(v64),
+            f32v.ctypes.data_as(ip), len(f32v),
+            out.ctypes.data_as(dp))
+        return out
+    from scipy.spatial import cKDTree
+    bc, fi = mesh_sample_barycentric(verts, faces, num_samples, seed=seed)
+    pts = barycentric_interpolation(bc, verts, faces[fi])
+    pts = np.concatenate([verts, pts], axis=0)
+    return cKDTree(pts).query(points, k=1)[0]
 
 
 # ---------------------------------------------------------------------------

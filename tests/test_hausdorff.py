@@ -126,3 +126,26 @@ def test_fallback_sampled_close(monkeypatch):
     monkeypatch.setattr(geo, "_HAUSDORFF_FAILED", True)
     approx = geo.mesh_hausdorff(va, fa, vb, fa, num_samples=20000)
     assert approx == pytest.approx(0.37, rel=0.05)
+
+
+def test_points_to_mesh_distance_matches_brute(native):
+    from garmentnets_tpu.ops.geometry import points_to_mesh_distance
+    rng = np.random.RandomState(3)
+    v, f = _random_mesh(rng, nv=30, nf=60)
+    q = rng.randn(40, 3) * 0.8 + 0.5
+    got = points_to_mesh_distance(q, v, f)
+    want = np.array([
+        min(_point_tri_dist_brute(p, v[t[0]], v[t[1]], v[t[2]]) for t in f)
+        for p in q])
+    np.testing.assert_allclose(got, want, atol=1e-12)
+
+
+def test_points_to_mesh_distance_fallback(monkeypatch):
+    import garmentnets_tpu.ops.geometry as geo
+    v = np.array([[0, 0, 0], [1, 0, 0], [0, 1, 0]], np.float64)
+    f = np.array([[0, 1, 2]], np.int32)
+    q = np.array([[0.2, 0.2, 0.5], [0.25, 0.25, -0.1]])
+    monkeypatch.setattr(geo, "_HAUSDORFF_LIB", None)
+    monkeypatch.setattr(geo, "_HAUSDORFF_FAILED", True)
+    approx = geo.points_to_mesh_distance(q, v, f, num_samples=50000)
+    np.testing.assert_allclose(approx, [0.5, 0.1], atol=0.02)

@@ -126,10 +126,14 @@ def dense_decode(feature_volume: jax.Array, layers, volume_size: int,
     # backend dispatch: 'xla' (this slab path; works everywhere),
     # 'pallas' (ops/dense_decode_pallas — fused VMEM kernel; shard_maps
     # itself over any mesh), or 'auto' (probe-select pallas where it
-    # compiles, mirroring the Pallas-FPS autodetect).
+    # compiles, mirroring the Pallas-FPS autodetect). Default 'auto':
+    # the fused kernel measured faster at EVERY precision tier on a real
+    # v5e (tools/bench_encode.py, 128^3/B=8: HIGHEST 110 vs 136 ms,
+    # HIGH 60 vs 92, DEFAULT 27 vs 47) and the probe falls back to XLA
+    # wherever Mosaic can't compile (e.g. CPU test meshes).
     # GARMENTNETS_DENSE_DECODE selects globally; explicit `backend` wins.
     import os
-    backend = backend or os.environ.get("GARMENTNETS_DENSE_DECODE", "xla")
+    backend = backend or os.environ.get("GARMENTNETS_DENSE_DECODE", "auto")
     if backend == "auto":
         from garmentnets_tpu.ops.dense_decode_pallas import (
             fused_decode_available)

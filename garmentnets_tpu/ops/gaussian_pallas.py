@@ -115,11 +115,20 @@ def ggm_pallas_available() -> tuple:
     (drives the 'auto' dispatch in ops/gaussian, mirroring
     dense_decode_pallas.fused_decode_available). Genuine can't-compile
     failures cache for the process lifetime; transient device errors clear
-    the cache so a later 'auto' dispatch re-probes."""
+    the cache so a later 'auto' dispatch re-probes. Runs on a fresh
+    thread (ops/probe.run_outside_trace) because the first 'auto'
+    dispatch happens at trace time inside the jitted engine — there a
+    nested jit returns an ambient-trace tracer, np.asarray raises, and a
+    bogus "can't compile" is cached (see fused_decode_available)."""
+    from garmentnets_tpu.ops.probe import run_outside_trace
     try:
-        vol = jnp.asarray(
-            np.random.RandomState(0).rand(1, 8, 8, 8), jnp.float32)
-        np.asarray(jax.jit(lambda v: ggm_pallas(v, 0.5))(vol))
+        vol_host = np.random.RandomState(0).rand(1, 8, 8, 8)
+
+        def body():
+            vol = jnp.asarray(vol_host, jnp.float32)
+            return np.asarray(jax.jit(lambda v: ggm_pallas(v, 0.5))(vol))
+
+        run_outside_trace(body)
         return True, ""
     except Exception as e:  # noqa: BLE001 — any backend failure
         msg = repr(e)

@@ -51,8 +51,14 @@ def _pallas_fps_available() -> bool:
             try:
                 from garmentnets_tpu.kernels.fps_pallas import (
                     furthest_point_sampling_pallas)
-                jax.block_until_ready(furthest_point_sampling_pallas(
-                    jnp.zeros((1, 256, 3), jnp.float32), 128))
+                # fresh-thread probe: the first dispatch is usually at
+                # trace time inside a jitted caller, where the probe
+                # call would otherwise trace into the AMBIENT jaxpr
+                # instead of actually compile-probing (see ops/probe.py)
+                from garmentnets_tpu.ops.probe import run_outside_trace
+                run_outside_trace(lambda: jax.block_until_ready(
+                    furthest_point_sampling_pallas(
+                        jnp.zeros((1, 256, 3), jnp.float32), 128)))
                 _FPS_USE_PALLAS = True
             except Exception as e:
                 # a Pallas regression on the real chip would otherwise be

@@ -243,6 +243,33 @@ def test_eval_pipeline(predict_run, tmp_path_factory):
     assert "nocs_pc_error_distance" in summary
     assert np.isfinite(summary["nocs_pc_error_distance"])
     assert "null_percentage" in summary
+    # column COMPLETENESS (VERDICT r2 #9): with every metric function
+    # enabled and predict_holes=True, the aggregate must carry the full
+    # reference key set — including the reference's 'distanc' spellings
+    # (eval.py:146-182) — even when a column aggregates to NaN (all-null
+    # samples write NaN, never drop the column)
+    expected = {
+        "nocs_pc_error_distance", "nocs_pc_mirror_error_distance",
+        "nocs_pc_min_agg_error_distance", "nocs_pc_agg_min_error_distance",
+        *(f"nocs_pc_diff_std_{a}" for a in "xyz"),
+        *(f"nocs_pc_error_{a}" for a in "xyz"),
+        *(f"grip_point_{m}_{k}" for k in ("pc", "global")
+          for m in ("error_distance", "mirror_error_distanc",
+                    "min_error_distanc")),
+        *(f"chamfer_symmetrical_{k}" for k in
+          ("nocs", "sim", "nocs_no_hole", "sim_no_hole", "nocs_mc")),
+        *(f"hybrid_chamfer_{m}_{cat}_{aug}"
+          for m in ("forward", "backward", "symmetrical")
+          for cat in ("regular", "no_hole")
+          for aug in ("pred", "mirror", "min")),
+        *(f"hausdorff_{k}" for k in
+          ("nocs", "sim", "nocs_no_hole", "sim_no_hole", "nocs_mc")),
+        *(f"geodesic_rms_{k}" for k in
+          ("sim", "nocs", "sim_no_hole", "nocs_no_hole", "nocs_mc")),
+        "null_percentage",
+    }
+    missing = expected - set(summary)
+    assert not missing, f"eval summary missing columns: {sorted(missing)}"
     # best/worst PLY visualizations written (non-null samples exist)
     if summary["null_percentage"] < 1.0:
         assert list((out / "vis").glob("*.ply"))

@@ -123,8 +123,11 @@ def main():
     for name, prec in [("HIGHEST", jax.lax.Precision.HIGHEST),
                        ("HIGH", jax.lax.Precision.HIGH),
                        ("DEFAULT", jax.lax.Precision.DEFAULT)]:
+        # pin backend='xla': dense_decode's default is 'auto', which
+        # would silently time the fused kernel in the baseline rows too
         dd = jax.jit(lambda f, p=prec: dense_decode(
-            f, engine._vd_layers, VOL, slab=engine._slab, precision=p))
+            f, engine._vd_layers, VOL, slab=engine._slab, precision=p,
+            backend="xla"))
         res[f"dense_decode {name}"] = timeit(dd, fvt, n=args.n)
         if name == "HIGHEST":
             wnf_ref = np.asarray(dd(fvt))
@@ -154,7 +157,9 @@ def main():
     wnf = dd_high(fvt)
 
     # --- ggm / extraction ---
-    ggm_fn = jax.jit(lambda w: gaussian_gradient_magnitude(w, 0.5))
+    # backend='xla' pinned for the same reason as the decode baseline
+    ggm_fn = jax.jit(lambda w: gaussian_gradient_magnitude(
+        w, 0.5, backend="xla"))
     res["gaussian_gradient_magnitude"] = timeit(ggm_fn, wnf, n=args.n)
     try:
         from garmentnets_tpu.ops.gaussian_pallas import ggm_pallas

@@ -57,6 +57,39 @@ def _conv_reduce(x, taps, axis: int, n_out: int):
     return out
 
 
+def _vmem_model(TD: int, TH: int, W: int, r: int) -> int:
+    """Worst-case live VMEM bytes for one (TD, TH) tile of the fused ggm
+    kernel: the W-padded window (plus Mosaic's concat copy), three
+    directional conv chains, and the accumulator. Mosaic's measured
+    stack allocation runs ~1.6x this sum (44.4 MB observed at 256^3 vs
+    a 27.7 MB model), so _pick_ggm_tiles budgets at half the 16 MB
+    scoped-vmem limit."""
+    e = 2 * (TD + 2 * r) * (TH + 2 * r) * (W + 2 * r)
+    e += 3 * (TD * (TH + 2 * r) * (W + 2 * r)
+              + TD * TH * (W + 2 * r) + TD * TH * W)
+    e += TD * TH * W
+    return 4 * e
+
+
+def _pick_ggm_tiles(D: int, H: int, W: int, r: int) -> tuple:
+    """(TD, TH): largest D/H tile whose modeled live set fits the VMEM
+    budget. At 128^3 this picks (8, 128) — the full-H slab the kernel
+    always used; at 256^3 the full-H slab's Mosaic stack measured 44.4 MB
+    against the 16 MB scoped limit (the round-3 on-chip OOM), so H tiles
+    too. The tiny-shape availability probe can't catch shape-dependent
+    OOM, which is why the tiling must adapt rather than the dispatch."""
+    budget = 8_000_000
+    for td in (8, 4, 2, 1):
+        if D % td:
+            continue
+        for th in (H, 256, 128, 64, 32, 16, 8):
+            if th > H or H % th:
+                continue
+            if _vmem_model(td, th, W, r) <= budget:
+                return td, th
+    return 1, min(H, 8)
+
+
 def ggm_pallas(volume: jax.Array, sigma: float, truncate: float = 4.0,
                interpret: bool = False) -> jax.Array:
     """volume: [B, S, S, S] -> |grad| [B, S, S, S] (scipy 'nearest')."""
@@ -65,36 +98,42 @@ def ggm_pallas(volume: jax.Array, sigma: float, truncate: float = 4.0,
     k0 = tuple(float(v) for v in _gaussian_kernel1d(sigma, 0, r))
     k1 = tuple(float(v) for v in _gaussian_kernel1d(sigma, 1, r))
 
-    TD = next(t for t in (8, 4, 2, 1) if D % t == 0)
-    n_dt = D // TD
+    TD, TH = _pick_ggm_tiles(D, H, W, r)
+    n_dt, n_ht = D // TD, H // TH
 
-    # D-axis halo windows, edge-replicated at the volume boundary (XLA
-    # pre-gather; ~(TD+2r)/TD x the volume, read once per tile)
-    zpad = jnp.pad(volume, [(0, 0), (r, r), (0, 0), (0, 0)], mode="edge")
+    # D- and H-axis halo windows, edge-replicated at the volume boundary
+    # (XLA pre-gather; ~(TD+2r)/TD x (TH+2r)/TH x the volume, read once
+    # per tile). Interior tiles take true neighbor values through the
+    # pad-then-slice, so only physical borders replicate.
+    zpad = jnp.pad(volume, [(0, 0), (r, r), (r, r), (0, 0)], mode="edge")
     win = jnp.stack([
         jax.lax.dynamic_slice_in_dim(zpad, i * TD, TD + 2 * r, axis=1)
-        for i in range(n_dt)], axis=1)        # [B, n_dt, TD+2r, H, W]
+        for i in range(n_dt)], axis=1)       # [B, n_dt, D+2r->TD+2r, H+2r, W]
+    win = jnp.stack([
+        jax.lax.dynamic_slice_in_dim(win, j * TH, TH + 2 * r, axis=3)
+        for j in range(n_ht)], axis=2)    # [B, n_dt, n_ht, TD+2r, TH+2r, W]
 
     def kernel(win_ref, out_ref):
-        v = win_ref[0, 0]                      # [TD+2r, H, W]
-        vp = _edge_pad(_edge_pad(v, r, 1), r, 2)   # [TD+2r, H+2r, W+2r]
+        v = win_ref[0, 0, 0]                   # [TD+2r, TH+2r, W]
+        vp = _edge_pad(v, r, 2)                # [TD+2r, TH+2r, W+2r]
         acc = None
         for d_axis in range(3):
             g = vp
             # conv D first (reduces the halo axis), then H, then W —
             # same kernels/axis assignment as the XLA path
             g = _conv_reduce(g, k1 if d_axis == 0 else k0, 0, TD)
-            g = _conv_reduce(g, k1 if d_axis == 1 else k0, 1, H)
+            g = _conv_reduce(g, k1 if d_axis == 1 else k0, 1, TH)
             g = _conv_reduce(g, k1 if d_axis == 2 else k0, 2, W)
             acc = g * g if acc is None else acc + g * g
         out_ref[0] = jnp.sqrt(acc)
 
     grid_spec = pl.GridSpec(
-        grid=(B, n_dt),
-        in_specs=[pl.BlockSpec((1, 1, TD + 2 * r, H, W),
-                               lambda b, i: (b, i, 0, 0, 0),
+        grid=(B, n_dt, n_ht),
+        in_specs=[pl.BlockSpec((1, 1, 1, TD + 2 * r, TH + 2 * r, W),
+                               lambda b, i, j: (b, i, j, 0, 0, 0),
                                memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((1, TD, H, W), lambda b, i: (b, i, 0, 0),
+        out_specs=pl.BlockSpec((1, TD, TH, W),
+                               lambda b, i, j: (b, i, j, 0),
                                memory_space=pltpu.VMEM),
     )
     taps = 2 * r + 1

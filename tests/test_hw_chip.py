@@ -201,12 +201,33 @@ def test_fused_dense_decode_on_chip():
 
 def test_fused_ggm_on_chip():
     """The fused Pallas ggm must compile on the real chip and agree with
-    the XLA separable path."""
+    the XLA separable path (backend pinned: the default is 'auto', which
+    would make this pallas-vs-pallas)."""
     import jax.numpy as jnp
     from garmentnets_tpu.ops.gaussian import gaussian_gradient_magnitude
     from garmentnets_tpu.ops.gaussian_pallas import ggm_pallas
     rs = np.random.RandomState(0)
     vol = jnp.asarray(rs.rand(2, 32, 32, 32).astype(np.float32))
-    ref = np.asarray(gaussian_gradient_magnitude(vol, 0.5))
+    ref = np.asarray(gaussian_gradient_magnitude(vol, 0.5, backend="xla"))
     out = np.asarray(ggm_pallas(vol, 0.5))
     np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_fused_ggm_256_on_chip():
+    """256^3 stretch shape: the full-H slab's Mosaic stack measured
+    44.4 MB against the 16 MB scoped-vmem limit (round-3 on-chip OOM in
+    the BENCH_VOLUME=256 config), so _pick_ggm_tiles must tile H. This
+    is the compile-and-parity regression for exactly that shape; spot
+    parity is checked on a slab (full 256^3 d2h through the tunnel
+    would dominate the suite's runtime)."""
+    import jax
+    import jax.numpy as jnp
+    from garmentnets_tpu.ops.gaussian import gaussian_gradient_magnitude
+    from garmentnets_tpu.ops.gaussian_pallas import ggm_pallas
+    rs = np.random.RandomState(1)
+    vol = jnp.asarray(rs.rand(1, 256, 256, 256).astype(np.float32))
+    out = jax.jit(lambda v: ggm_pallas(v, 0.5))(vol)[0, 100:104]
+    ref = jax.jit(lambda v: gaussian_gradient_magnitude(
+        v, 0.5, backend="xla"))(vol)[0, 100:104]
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-5)

@@ -425,10 +425,20 @@ class Loader:
                     else:
                         return  # consumer gone: drop batch, exit thread
             finally:
-                try:
-                    q.put_nowait(stop)
-                except queue.Full:
-                    pass  # consumer gone and queue full: nobody will read
+                # the stop sentinel must be delivered BLOCKING (same
+                # abandoned-check retry as batches): a put_nowait here
+                # silently dropped it whenever the consumer was >=prefetch
+                # batches behind at end-of-epoch, leaving the consumer
+                # waiting on q.get() forever — the predict CLI (fast
+                # producer, slow zarr-writing consumer) deadlocked on any
+                # dataset longer than ~6 batches; training never saw it
+                # because its producer is the slow side
+                while not abandoned.is_set():
+                    try:
+                        q.put(stop, timeout=0.2)
+                        break
+                    except queue.Full:
+                        continue
 
         t = threading.Thread(target=worker, daemon=True)
         t.start()

@@ -104,3 +104,30 @@ def test_process_shard_disabled_passthrough():
     idxs = np.arange(10)
     np.testing.assert_array_equal(
         dm._process_shard(idxs, process_count=4, process_index=1), idxs)
+
+
+def test_slow_consumer_receives_stop_sentinel():
+    """End-of-epoch deadlock regression: the producer thread used
+    put_nowait for the stop sentinel, which silently dropped it whenever
+    the consumer lagged >= prefetch batches behind at producer exit — the
+    consumer then blocked on q.get() forever. Reproduced by the predict
+    CLI on any dataset longer than ~6 batches (fast loader, slow
+    zarr-writing consumer). A slow consumer must still drain the epoch
+    and terminate."""
+    import threading
+    import time
+
+    loader = Loader(_ArrayDataset(16), np.arange(16), batch_size=2,
+                    prefetch=1, num_workers=0)
+    got = []
+
+    def consume():
+        for b in loader:
+            time.sleep(0.05)   # slower than the producer fills prefetch=1
+            got.append(b["idx"].ravel())
+
+    t = threading.Thread(target=consume, daemon=True)
+    t.start()
+    t.join(timeout=30)
+    assert not t.is_alive(), "consumer never saw the stop sentinel"
+    np.testing.assert_array_equal(np.concatenate(got), np.arange(16))

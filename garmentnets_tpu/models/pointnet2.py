@@ -40,15 +40,17 @@ class SAModule(nn.Module):
         centers = jnp.take_along_axis(pos, idx[..., None], axis=1)
         nbr_idx, nbr_mask = ball_query(
             pos, centers, self.radius, k=self.max_neighbors)     # [B,M,K]
-        # Neighbor-feature gather. 'split' = one take_along_axis per
-        # source (reference-shaped); GARMENTNETS_SA_GATHER=combined
-        # gathers the pre-concatenated [x | pos] rows in ONE op — same
-        # values bit-for-bit, candidate layout win for the TPU gather
-        # engine (tools/bench_gather.py measures both; env is read at
-        # trace time, so set it before the engine/jit is built).
+        # Neighbor-feature gather. 'combined' (default) gathers the
+        # pre-concatenated [x | pos] rows in ONE take_along_axis — same
+        # values bit-for-bit as 'split' (one gather per source,
+        # reference-shaped) and 2x faster on the chip: a TPU gather's
+        # cost is per ROW it touches, so fusing the two gathers halves
+        # the row traffic (tools/bench_gather.py 2026-08-19: SA1 11.6 vs
+        # 22.1 ms, SA2 5.1 vs 6.6). Env is read at trace time, so set it
+        # before the engine/jit is built.
         import os
         combined = (x is not None and os.environ.get(
-            "GARMENTNETS_SA_GATHER", "split") == "combined")
+            "GARMENTNETS_SA_GATHER", "combined") == "combined")
         if combined:
             src = jnp.concatenate([x, pos], axis=-1)
             nbr = jnp.take_along_axis(

@@ -252,8 +252,9 @@ def test_aabb_scale_offset_matches_numpy_normalizer():
 
 
 def test_sa_gather_combined_is_bit_identical(monkeypatch):
-    """GARMENTNETS_SA_GATHER=combined must produce bit-identical SA
-    outputs (same gathered values, same concat order)."""
+    """GARMENTNETS_SA_GATHER=combined (the default, 2x-faster gather)
+    must produce bit-identical SA outputs to the reference-shaped
+    'split' formulation (same gathered values, same concat order)."""
     import jax
     import jax.numpy as jnp
     from garmentnets_tpu.models.pointnet2 import SAModule
@@ -262,6 +263,7 @@ def test_sa_gather_combined_is_bit_identical(monkeypatch):
     pos = jnp.asarray((rs.rand(2, 128, 3) - 0.5).astype(np.float32))
     mod = SAModule(ratio=0.5, radius=0.2, mlp_channels=(6, 16, 16))
     variables = mod.init(jax.random.PRNGKey(0), x, pos, train=False)
+    monkeypatch.setenv("GARMENTNETS_SA_GATHER", "split")
     ref, ref_c = mod.apply(variables, x, pos, train=False)
     monkeypatch.setenv("GARMENTNETS_SA_GATHER", "combined")
     out, out_c = mod.apply(variables, x, pos, train=False)

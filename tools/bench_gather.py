@@ -16,8 +16,11 @@ Run on the real chip: python tools/bench_gather.py [--n 20]
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 

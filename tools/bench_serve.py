@@ -63,7 +63,9 @@ def main():
                          num_points=args.points, volume_size=args.volume,
                          batch_window_ms=10.0)
     t0 = time.time()
-    res = svc.submit(x, pos)
+    # generous warm timeout: a cold encode+warp compile through the axon
+    # tunnel can exceed submit()'s 300 s default (observed ~160-400 s)
+    res = svc.submit(x, pos, timeout=1500.0)
     print(f"warm: {time.time() - t0:.1f}s; ok="
           f"{[int(r['ok']) for r in res]}", file=sys.stderr)
 

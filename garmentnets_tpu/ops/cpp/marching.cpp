@@ -131,6 +131,11 @@ struct Extractor {
     std::vector<uint64_t> cross_bits;     // [n_bricks * 3] (64 bits/dir)
     std::vector<int64_t> cross_prefix;    // [n_bricks] exclusive
 
+    // power-of-two grid decode: production volumes are 128/256 per axis,
+    // so the per-vertex id->coords decodes on the gradient/weld hot paths
+    // (~30 per emitted vertex) become shifts instead of int64 divisions
+    int lz2 = -1, ly2 = -1;               // log2(nz), log2(ny) or -1
+
     Extractor(const float* v, int64_t nx_, int64_t ny_, int64_t nz_,
               float level_, float sx_, float sy_, float sz_, bool ascent_,
               size_t expected_active = 0)
@@ -138,7 +143,24 @@ struct Extractor {
           sx(sx_), sy(sy_), sz(sz_), ascent(ascent_),
           edge_map(v ? (size_t)(nx_ * ny_ * nz_ / 4 + 64)
                      : expected_active * 4 + 64),
-          val_map(v ? 1 : expected_active * 8 + 64) {}
+          val_map(v ? 1 : expected_active * 8 + 64) {
+        if (nz_ > 0 && (nz_ & (nz_ - 1)) == 0
+                && ny_ > 0 && (ny_ & (ny_ - 1)) == 0) {
+            lz2 = __builtin_ctzll((uint64_t)nz_);
+            ly2 = __builtin_ctzll((uint64_t)ny_);
+        }
+    }
+
+    inline void coords(int64_t g, int64_t& x, int64_t& y, int64_t& z)
+        const {
+        if (lz2 >= 0) {
+            z = g & (nz - 1);
+            y = (g >> lz2) & (ny - 1);
+            x = g >> (lz2 + ly2);
+        } else {
+            z = g % nz; y = (g / nz) % ny; x = g / (nz * ny);
+        }
+    }
 
     inline float val(int64_t g) const {
         if (vol) return vol[g];
@@ -146,7 +168,7 @@ struct Extractor {
             // brick mode: direct computed lookup, no hashing. Dequantization
             // is float32 division to bit-match the numpy host path
             // (q.astype(f32) / VAL_QUANT_SCALE + level).
-            int64_t z = g % nz, y = (g / nz) % ny, x = g / (nz * ny);
+            int64_t x, y, z; coords(g, x, y, z);
             int64_t row = brick_row[((x >> 2) * nby + (y >> 2)) * nbz
                                     + (z >> 2)];
             int8_t q = bricks[row * 64 + (((x & 3) << 4) | ((y & 3) << 2)
@@ -157,6 +179,33 @@ struct Extractor {
         // every queried id was registered by note_corner)
         int32_t* slot = const_cast<EdgeMap&>(val_map).slot((uint64_t)g);
         return sparse_vals[*slot];
+    }
+
+    // availability check + value fetch in ONE coordinate decode: grad()
+    // previously paid has(x,y,z) followed by val(g) — two full decodes
+    // plus two brick-row lookups — per available neighbor
+    inline bool try_val(int64_t x, int64_t y, int64_t z, float* out)
+        const {
+        if (x < 0 || y < 0 || z < 0 || x >= nx || y >= ny || z >= nz)
+            return false;
+        if (vol) {
+            *out = vol[(x * ny + y) * nz + z];
+            return true;
+        }
+        if (bricks) {
+            int64_t row = brick_row[((x >> 2) * nby + (y >> 2)) * nbz
+                                    + (z >> 2)];
+            if (row < 0) return false;
+            int8_t q = bricks[row * 64 + (((x & 3) << 4) | ((y & 3) << 2)
+                                          | (z & 3))];
+            *out = (float)q / qscale + level;
+            return true;
+        }
+        int32_t* slot = const_cast<EdgeMap&>(val_map).slot(
+            (uint64_t)((x * ny + y) * nz + z));
+        if (*slot < 0) return false;
+        *out = sparse_vals[*slot];
+        return true;
     }
 
     // value availability (drives one-sided fallbacks in grad()): full-
@@ -180,25 +229,27 @@ struct Extractor {
     // at un-shipped bricks, a documented approximation 1+ voxels off the
     // surface). Physical units (divided by spacing).
     inline void grad(int64_t g, float out[3]) const {
-        int64_t z = g % nz, y = (g / nz) % ny, x = g / (nz * ny);
-        const int64_t c[3] = {x, y, z};
-        const int64_t stride[3] = {ny * nz, nz, 1};
+        int64_t x, y, z;
+        coords(g, x, y, z);
         const float sp[3] = {sx, sy, sz};
+        float vc = 0.f;
+        bool vc_known = false;
         for (int a = 0; a < 3; ++a) {
             int64_t p[3] = {x, y, z};
-            p[a] = c[a] + 1;
-            bool hp = has(p[0], p[1], p[2]);
-            p[a] = c[a] - 1;
-            bool hm = has(p[0], p[1], p[2]);
-            if (hp && hm)
-                out[a] = (val(g + stride[a]) - val(g - stride[a]))
-                         / (2.f * sp[a]);
-            else if (hp)
-                out[a] = (val(g + stride[a]) - val(g)) / sp[a];
-            else if (hm)
-                out[a] = (val(g) - val(g - stride[a])) / sp[a];
-            else
+            float vp, vm;
+            p[a] += 1;
+            bool hp = try_val(p[0], p[1], p[2], &vp);
+            p[a] -= 2;
+            bool hm = try_val(p[0], p[1], p[2], &vm);
+            if (hp && hm) {
+                out[a] = (vp - vm) / (2.f * sp[a]);
+            } else if (hp || hm) {
+                // one-sided difference needs the center value once
+                if (!vc_known) { vc = val(g); vc_known = true; }
+                out[a] = hp ? (vp - vc) / sp[a] : (vc - vm) / sp[a];
+            } else {
                 out[a] = 0.f;
+            }
         }
     }
 
@@ -231,7 +282,7 @@ struct Extractor {
             // the dense per-brick table. Non-axis edges (tetrahedra-mode
             // diagonals) fall through to the hash.
             int dir = (d == 1) ? 2 : (d == nz ? 1 : 0);
-            int64_t z = ga % nz, y = (ga / nz) % ny, x = ga / (nz * ny);
+            int64_t x, y, z; coords(ga, x, y, z);
             int64_t row = brick_row[((x >> 2) * nby + (y >> 2)) * nbz
                                     + (z >> 2)];
             int loc = ((int)(x & 3) << 4) | ((int)(y & 3) << 2)
@@ -255,8 +306,9 @@ struct Extractor {
         if (t < 0.f) t = 0.f;
         if (t > 1.f) t = 1.f;
         // decode grid coords (C-order: x major)
-        int64_t az = ga % nz, ay = (ga / nz) % ny, ax = ga / (nz * ny);
-        int64_t bz = gb % nz, by = (gb / nz) % ny, bx = gb / (nz * ny);
+        int64_t ax, ay, az, bx, by, bz;
+        coords(ga, ax, ay, az);
+        coords(gb, bx, by, bz);
         float px = ((float)ax + t * (float)(bx - ax)) * sx;
         float py = ((float)ay + t * (float)(by - ay)) * sy;
         float pz = ((float)az + t * (float)(bz - az)) * sz;
@@ -312,7 +364,7 @@ struct Extractor {
     }
 
     inline void vert_pos(int64_t g, float* p) const {
-        int64_t z = g % nz, y = (g / nz) % ny, x = g / (nz * ny);
+        int64_t x, y, z; coords(g, x, y, z);
         p[0] = (float)x * sx; p[1] = (float)y * sy; p[2] = (float)z * sz;
     }
 

@@ -216,6 +216,41 @@ def test_batched_predict_matches_bs1(synth_zarr, stage2_run, predict_run,
         assert (len(va) == 1) == (len(vb) == 1)  # same null/non-null status
 
 
+def test_predict_no_logits_flag(synth_zarr, stage2_run, tmp_path_factory):
+    """prediction.store_pred_nocs_logits=False (throughput mode) must skip
+    ONLY point_cloud/pred_nocs_logits — every other schema array stays
+    (default True keeps exact reference-schema parity; VERDICT r3 #6)."""
+    from garmentnets_tpu.harness import predict
+    from garmentnets_tpu.data import zarrlite
+    run_dir = tmp_path_factory.mktemp("pred_nl")
+    cfg = {
+        "main": {"checkpoint_path":
+                 str(stage2_run / "checkpoints/last.ckpt")},
+        "prediction": {"subset": "test", "volume_size": 16,
+                       "gradient_sigma": 0.5, "iso_surface_level": 0.5,
+                       "gradient_direction": "ascent",
+                       "use_hole_prediction": False,
+                       "store_pred_nocs_logits": False},
+        "logger": {},
+        "datamodule": dict(COMMON_DM, zarr_path=synth_zarr, batch_size=1),
+    }
+    out = pathlib.Path(predict.main(cfg, run_dir=str(run_dir)))
+    root = zarrlite.open(str(out / "prediction.zarr"), "r")
+    keys = [k for k, _ in root["samples"].groups()]
+    assert len(keys) == 2
+    for k in keys:
+        pc = root[f"samples/{k}/point_cloud"]
+        names = {name for name, _ in pc.arrays()}
+        assert "pred_nocs_logits" not in names
+        assert {"pred_nocs", "pred_nocs_confidence", "input_points",
+                "input_rgb", "gt_nocs"} <= names
+        # the rest of the schema is untouched
+        g = root[f"samples/{k}"]
+        for sub in ("marching_cubes_mesh", "gt_marching_cubes_mesh",
+                    "gt_mesh", "misc"):
+            assert sub in g, sub
+
+
 def test_eval_pipeline(predict_run, tmp_path_factory):
     from garmentnets_tpu.harness import eval as eval_mod
     run_dir = tmp_path_factory.mktemp("eval")

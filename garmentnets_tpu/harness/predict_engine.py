@@ -169,8 +169,13 @@ class PredictEngine:
             vol = mdl.unet3d_forward(p2["nocs_data"], train=False)
             return p2, vol
 
-        (p2_result, feature_volume) = model.apply(
-            variables, x, pos, method=run)
+        # mesh-sharded encode pins the XLA SA path while tracing: a
+        # pallas_call inside this GSPMD-partitioned jit cannot be split by
+        # the partitioner (same rule as the ggm backend below)
+        from garmentnets_tpu.kernels.sa_pallas import backend_override
+        with backend_override("xla" if self.mesh is not None else None):
+            (p2_result, feature_volume) = model.apply(
+                variables, x, pos, method=run)
 
         # swapaxes matches ImplicitWNFDecoder's reference axis-order quirk
         # (query zyx lookup): dense-decoding the transposed volume at the

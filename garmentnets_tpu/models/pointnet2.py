@@ -40,6 +40,26 @@ class SAModule(nn.Module):
         centers = jnp.take_along_axis(pos, idx[..., None], axis=1)
         nbr_idx, nbr_mask = ball_query(
             pos, centers, self.radius, k=self.max_neighbors)     # [B,M,K]
+        # Fused Pallas SA path (eval only, OPT-IN via GARMENTNETS_SA=
+        # pallas): MLP chain + max-over-K in one VMEM kernel
+        # (kernels/sa_pallas.py). Measured SLOWER than this XLA path on
+        # the real chip (the stage is gather-bound — see the kernel's
+        # docstring), so `auto` resolves to XLA; the branch is kept for
+        # toolchains where the tradeoff flips. Training always uses the
+        # XLA path (masked-BN batch stats need the full-batch reduction),
+        # as do init (params don't exist yet) and mesh-sharded traces
+        # (the engine pins 'xla' via backend_override — pallas_call is
+        # opaque to GSPMD).
+        if (not train) and (x is not None) and (not self.is_initializing()):
+            from garmentnets_tpu.kernels.sa_pallas import (
+                sa_backend, sa_fused, sa_layers_from_params)
+            if sa_backend() == "pallas":
+                params = self.get_variable("params", "mlp")
+                stats = (self.get_variable("batch_stats", "mlp")
+                         if self.batch_norm else None)
+                layers = sa_layers_from_params(params, stats)
+                out = sa_fused(x, pos, centers, nbr_idx, nbr_mask, layers)
+                return out, centers
         # Neighbor-feature gather. 'combined' (default) gathers the
         # pre-concatenated [x | pos] rows in ONE take_along_axis — same
         # values bit-for-bit as 'split' (one gather per source,

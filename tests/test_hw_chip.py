@@ -213,6 +213,52 @@ def test_fused_ggm_on_chip():
     np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-5)
 
 
+def test_fused_sa_on_chip():
+    """The fused SA kernel (kernels/sa_pallas, OPT-IN via GARMENTNETS_SA=
+    pallas — measured slower than the XLA SA path, see its docstring) must
+    still compile on the real chip and agree with the XLA formulation; a
+    Mosaic regression here should fail loudly, not surface as a silent
+    env-flag no-op."""
+    import jax
+    import jax.numpy as jnp
+    from garmentnets_tpu.kernels.sa_pallas import sa_fused
+    rs = np.random.RandomState(0)
+    B, N, M, K, Cin = 2, 512, 96, 16, 3
+    x = jnp.asarray(rs.rand(B, N, Cin).astype(np.float32) - 0.5)
+    pos = jnp.asarray(rs.rand(B, N, 3).astype(np.float32))
+    centers = jnp.asarray(np.asarray(pos[:, :M]))
+    idx = jnp.asarray(rs.randint(0, N, (B, M, K)).astype(np.int32))
+    mask = jnp.asarray(rs.rand(B, M, K) > 0.3).at[..., 0].set(True)
+    dims = [Cin + 3, 8, 16]
+    layers = []
+    for cin, cout in zip(dims[:-1], dims[1:]):
+        layers.append((
+            jnp.asarray((rs.rand(cin, cout).astype(np.float32) - 0.5)
+                        / np.sqrt(cin)),
+            jnp.asarray(np.stack([
+                rs.rand(cout).astype(np.float32) - 0.5,
+                rs.rand(cout).astype(np.float32) + 0.5,
+                rs.rand(cout).astype(np.float32) - 0.5]))))
+
+    def xla_ref(x, pos, centers, idx, mask):
+        src = jnp.concatenate([x, pos], -1)
+        nbr = jnp.take_along_axis(src[:, None], idx[..., None], axis=2)
+        rel = nbr[..., Cin:] - centers[:, :, None]
+        a = jnp.concatenate([nbr[..., :Cin], rel], -1)
+        for w, bgs in layers:
+            a = jnp.maximum(a @ w + bgs[0], 0) * bgs[1] + bgs[2]
+        return jnp.where(mask[..., None], a, -jnp.inf).max(axis=2)
+
+    hi = jax.lax.Precision.HIGHEST
+    out = np.asarray(jax.jit(lambda *a: sa_fused(
+        *a, layers, precision=hi))(x, pos, centers, idx, mask))
+    # pin the reference's matmuls to f32 too — at DEFAULT they run as
+    # bf16 MXU passes (~1e-3 rel), which would swamp the kernel check
+    with jax.default_matmul_precision("float32"):
+        ref = np.asarray(jax.jit(xla_ref)(x, pos, centers, idx, mask))
+    np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-5)
+
+
 def test_fused_ggm_256_on_chip():
     """256^3 stretch shape: the full-H slab's Mosaic stack measured
     44.4 MB against the 16 MB scoped-vmem limit (round-3 on-chip OOM in

@@ -104,10 +104,18 @@ def main():
     res["ball_query SA1 (6000x3000)"] = timeit(bq1, pos, centers1, n=args.n)
     res["ball_query SA2 (3000x750)"] = timeit(bq2, pts2, centers2, n=args.n)
 
-    # --- full stage-1 ---
+    # --- full stage-1 (A/B: the fused Pallas SA kernel vs the XLA SA
+    # path; backend resolves at TRACE time, so each variant is compiled
+    # inside its backend_override) ---
+    from garmentnets_tpu.kernels.sa_pallas import backend_override
     s1 = jax.jit(lambda v, xx, pp: model.apply(
         v, xx, pp, method="pointnet2_forward"))
     res["stage-1 full"] = timeit(s1, variables, x, pos, n=args.n)
+    s1x = jax.jit(lambda v, xx, pp: model.apply(
+        v, xx, pp, method="pointnet2_forward"))
+    with backend_override("xla"):
+        jax.block_until_ready(s1x(variables, x, pos))
+    res["stage-1 full (xla SA)"] = timeit(s1x, variables, x, pos, n=args.n)
 
     # --- unet ---
     p2 = s1(variables, x, pos)

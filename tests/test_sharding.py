@@ -15,11 +15,15 @@ def test_entry_compiles_and_runs():
 
 
 def test_dryrun_multichip_8():
-    graft.dryrun_multichip(8)
+    # production=False keeps this a quick smoke of the toy-width sharding;
+    # the production-shape phase (which the driver's dryrun_multichip(8)
+    # call runs by default) is covered by the named slow test in
+    # tests/test_sharding_production.py
+    graft.dryrun_multichip(8, production=False)
 
 
 def test_dryrun_multichip_2():
-    graft.dryrun_multichip(2)
+    graft.dryrun_multichip(2, production=False)
 
 
 def test_engine_pins_weights_on_device():

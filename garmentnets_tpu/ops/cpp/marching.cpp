@@ -135,6 +135,16 @@ struct Extractor {
     // so the per-vertex id->coords decodes on the gradient/weld hot paths
     // (~30 per emitted vertex) become shifts instead of int64 divisions
     int lz2 = -1, ly2 = -1;               // log2(nz), log2(ny) or -1
+    // brick dequantization LUT: q -> (float)q / qscale + level, each entry
+    // computed with the same f32 division as the scalar path, so lookups
+    // are bit-identical to it (and to the numpy host dequant) while the
+    // hot loops drop one int->float convert + divide per voxel touched
+    float dq_lut[256];
+    inline float dq(int8_t q) const { return dq_lut[(uint8_t)q]; }
+    void build_dq_lut() {
+        for (int i = 0; i < 256; ++i)
+            dq_lut[i] = (float)(int8_t)(uint8_t)i / qscale + level;
+    }
 
     Extractor(const float* v, int64_t nx_, int64_t ny_, int64_t nz_,
               float level_, float sx_, float sy_, float sz_, bool ascent_,
@@ -171,9 +181,8 @@ struct Extractor {
             int64_t x, y, z; coords(g, x, y, z);
             int64_t row = brick_row[((x >> 2) * nby + (y >> 2)) * nbz
                                     + (z >> 2)];
-            int8_t q = bricks[row * 64 + (((x & 3) << 4) | ((y & 3) << 2)
-                                          | (z & 3))];
-            return (float)q / qscale + level;
+            return dq(bricks[row * 64 + (((x & 3) << 4) | ((y & 3) << 2)
+                                         | (z & 3))]);
         }
         // active mode: lookup in sparse store (key always present —
         // every queried id was registered by note_corner)
@@ -196,9 +205,8 @@ struct Extractor {
             int64_t row = brick_row[((x >> 2) * nby + (y >> 2)) * nbz
                                     + (z >> 2)];
             if (row < 0) return false;
-            int8_t q = bricks[row * 64 + (((x & 3) << 4) | ((y & 3) << 2)
-                                          | (z & 3))];
-            *out = (float)q / qscale + level;
+            *out = dq(bricks[row * 64 + (((x & 3) << 4) | ((y & 3) << 2)
+                                         | (z & 3))]);
             return true;
         }
         int32_t* slot = const_cast<EdgeMap&>(val_map).slot(
@@ -231,6 +239,12 @@ struct Extractor {
     inline void grad(int64_t g, float out[3]) const {
         int64_t x, y, z;
         coords(g, x, y, z);
+        grad_xyz(x, y, z, out);
+    }
+
+    inline void grad_xyz(int64_t x, int64_t y, int64_t z,
+                         float out[3]) const {
+        int64_t g = (x * ny + y) * nz + z;
         const float sp[3] = {sx, sy, sz};
         float vc = 0.f;
         bool vc_known = false;
@@ -341,6 +355,75 @@ struct Extractor {
         return idx;
     }
 
+    // brick-context weld (run_bricks hot path). The caller already holds
+    // the 2x2x2 neighbor-brick rows and the cube's local coords, so the
+    // edge's canonical owner slot becomes ONE indexed load — no global-id
+    // decode and no scattered brick_row gather per lookup. Those two made
+    // the generic weld ~75 ns/call at ~4 calls per active cube, the
+    // largest single cost in the kernel (measured /tmp stage splits,
+    // 2026-08-20: weld lookups ~10 of 19.5 ms at 128^3 cloth).
+    struct BrickCtx {
+        const int64_t* rows;   // [8] brick rows, index (dx<<2)|(dy<<1)|dz
+        int lx, ly, lz;        // cube origin, local in [0,3]
+        int64_t bx, by, bz;    // brick origin in voxels
+    };
+    static const int CDX[8], CDY[8], CDZ[8];        // corner offsets
+    static const int EDGE_DIR[12];                  // cube edge -> axis
+    static const int EDGE_ORIG[12];                 // -> origin corner
+    static const bool EDGE_SWAPPED[12];             // origin == EDGE_C[1]
+
+    int32_t edge_vertex_brick(const BrickCtx& c, int e, float va, float vb) {
+        const int o = EDGE_ORIG[e], dir = EDGE_DIR[e];
+        const int ox = c.lx + CDX[o], oy = c.ly + CDY[o],
+                  oz = c.lz + CDZ[o];                     // in [0,4]
+        // the origin corner is one of the processed cube's corners, so its
+        // brick is present (run_bricks skips cubes with missing corners)
+        const int64_t row = c.rows[((ox >> 2) << 2) | ((oy >> 2) << 1)
+                                   | (oz >> 2)];
+        const int loc = ((ox & 3) << 4) | ((oy & 3) << 2) | (oz & 3);
+        int32_t* v = &brick_edges[row * 192 + dir * 64 + loc];
+        if (*v >= 0) return *v;
+        if (EDGE_SWAPPED[e]) { float tv = va; va = vb; vb = tv; }
+        int32_t rank = -1;
+        if (want_ranks) {
+            uint64_t bits = cross_bits[row * 3 + dir];
+            uint64_t below = (loc == 0) ? 0 : (bits << (64 - loc));
+            int64_t r = cross_prefix[row];
+            for (int dd = 0; dd < dir; ++dd)
+                r += __builtin_popcountll(cross_bits[row * 3 + dd]);
+            r += __builtin_popcountll(below);
+            rank = (int32_t)r;
+        }
+        float t = (vb != va) ? (level - va) / (vb - va) : 0.5f;
+        if (t < 0.f) t = 0.f;
+        if (t > 1.f) t = 1.f;
+        const int64_t gx = c.bx + ox, gy = c.by + oy, gz = c.bz + oz;
+        float px = ((float)gx + (dir == 0 ? t : 0.f)) * sx;
+        float py = ((float)gy + (dir == 1 ? t : 0.f)) * sy;
+        float pz = ((float)gz + (dir == 2 ? t : 0.f)) * sz;
+        int32_t idx = (int32_t)(mesh.verts.size() / 3);
+        mesh.verts.push_back(px);
+        mesh.verts.push_back(py);
+        mesh.verts.push_back(pz);
+        if (want_ranks) mesh.ranks.push_back(rank);
+        if (want_values) mesh.values.push_back(va > vb ? va : vb);
+        if (want_normals) {
+            float gA[3], gB[3];
+            grad_xyz(gx, gy, gz, gA);
+            grad_xyz(gx + (dir == 0), gy + (dir == 1), gz + (dir == 2), gB);
+            float n0 = gA[0] + t * (gB[0] - gA[0]);
+            float n1 = gA[1] + t * (gB[1] - gA[1]);
+            float n2 = gA[2] + t * (gB[2] - gA[2]);
+            float len = std::sqrt(n0 * n0 + n1 * n1 + n2 * n2);
+            float s = (ascent ? -1.f : 1.f) / (len > 0.f ? len : 1.f);
+            mesh.normals.push_back(n0 * s);
+            mesh.normals.push_back(n1 * s);
+            mesh.normals.push_back(n2 * s);
+        }
+        *v = idx;
+        return idx;
+    }
+
     inline void emit(int32_t a, int32_t b, int32_t c,
                      const float* inside_pt) {
         // orient the triangle so its normal points away from the inside
@@ -433,9 +516,11 @@ struct Extractor {
     static const int FACE_E[6][4];    // face -> edge between corner k, k+1
 
     // marching-cubes mode: marching squares per face -> loops -> fans.
-    // vin (optional) carries pre-fetched corner values (brick mode).
+    // vin (optional) carries pre-fetched corner values (brick mode);
+    // ctx (optional) enables the direct brick-context weld + vert_pos.
     inline void process_cube_mc(int64_t base, const int64_t* off,
-                                const float* vin = nullptr) {
+                                const float* vin = nullptr,
+                                const BrickCtx* ctx = nullptr) {
         float v[8];
         bool in[8];
         int n_in = 0;
@@ -508,7 +593,15 @@ struct Extractor {
 
         // orientation reference: centroid of inside corners
         float ref[3] = {0.f, 0.f, 0.f};
-        {
+        if (ctx) {
+            for (int c = 0; c < 8; ++c) {
+                if (!in[c]) continue;
+                ref[0] += (float)(ctx->bx + ctx->lx + CDX[c]) * sx;
+                ref[1] += (float)(ctx->by + ctx->ly + CDY[c]) * sy;
+                ref[2] += (float)(ctx->bz + ctx->lz + CDZ[c]) * sz;
+            }
+            ref[0] /= n_in; ref[1] /= n_in; ref[2] /= n_in;
+        } else {
             float p[3];
             for (int c = 0; c < 8; ++c) {
                 if (!in[c]) continue;
@@ -543,12 +636,15 @@ struct Extractor {
 
         int32_t vids[4][12];
         for (int li = 0; li < n_loops; ++li)
-            for (int i = 0; i < loop_n[li]; ++i)
-                vids[li][i] = edge_vertex_v(
-                    base + off[EDGE_C[loops[li][i]][0]],
-                    base + off[EDGE_C[loops[li][i]][1]],
-                    v[EDGE_C[loops[li][i]][0]],
-                    v[EDGE_C[loops[li][i]][1]]);
+            for (int i = 0; i < loop_n[li]; ++i) {
+                const int e = loops[li][i];
+                vids[li][i] = ctx
+                    ? edge_vertex_brick(*ctx, e, v[EDGE_C[e][0]],
+                                        v[EDGE_C[e][1]])
+                    : edge_vertex_v(base + off[EDGE_C[e][0]],
+                                    base + off[EDGE_C[e][1]],
+                                    v[EDGE_C[e][0]], v[EDGE_C[e][1]]);
+            }
 
         // method 2 interior test: loops whose inside-corner sets connect
         // through the trilinear interior form a tunnel (one annulus), not
@@ -745,9 +841,10 @@ struct Extractor {
     int method = 0;
 
     inline void process_cube(int64_t base, const int64_t* corner_off,
-                             const float* vin = nullptr) {
+                             const float* vin = nullptr,
+                             const BrickCtx* ctx = nullptr) {
         if (method != 1) {
-            process_cube_mc(base, corner_off, vin);
+            process_cube_mc(base, corner_off, vin, ctx);
             return;
         }
         for (int t = 0; t < 6; ++t)
@@ -848,11 +945,9 @@ struct Extractor {
     // neighbors shipped), so it is skipped. Emits exactly the cube set of
     // the device's extract_active_cubes on the dequantized field.
     void run_bricks(const int32_t* brick_idx, int64_t n_bricks) {
+        build_dq_lut();
         int64_t corner_off[8];
         corner_offsets(corner_off);
-        static const int DX[8] = {0, 1, 1, 0, 0, 1, 1, 0};
-        static const int DY[8] = {0, 0, 1, 1, 0, 0, 1, 1};
-        static const int DZ[8] = {0, 0, 0, 0, 1, 1, 1, 1};
         // per-cube support index of each corner within the 5^3 cache
         int sup_idx[4][4][4][8];
         for (int lx = 0; lx < 4; ++lx)
@@ -860,8 +955,8 @@ struct Extractor {
                 for (int lz = 0; lz < 4; ++lz)
                     for (int c = 0; c < 8; ++c)
                         sup_idx[lx][ly][lz][c] =
-                            ((lx + DX[c]) * 5 + (ly + DY[c])) * 5
-                            + (lz + DZ[c]);
+                            ((lx + CDX[c]) * 5 + (ly + CDY[c])) * 5
+                            + (lz + CDZ[c]);
         float sup[125];
         bool okv[125];
         for (int64_t i = 0; i < n_bricks; ++i) {
@@ -889,9 +984,8 @@ struct Extractor {
                         int idx = (a * 5 + c) * 5 + e;
                         int64_t row = rows[(da << 2) | (dc << 1) | (e >> 2)];
                         if (row < 0) { okv[idx] = false; continue; }
-                        int8_t q = bricks[row * 64
-                            + (((a & 3) << 4) | ((c & 3) << 2) | (e & 3))];
-                        sup[idx] = (float)q / qscale + level;
+                        sup[idx] = dq(bricks[row * 64
+                            + (((a & 3) << 4) | ((c & 3) << 2) | (e & 3))]);
                         okv[idx] = true;
                     }
                 }
@@ -924,13 +1018,29 @@ struct Extractor {
                             any_out |= !in;
                         }
                         if (!ok || !any_in || !any_out) continue;
-                        process_cube(base_row + lz, corner_off, v8);
+                        BrickCtx ctx{rows, lx, ly, lz, bx, by, bz};
+                        process_cube(base_row + lz, corner_off, v8,
+                                     method != 1 ? &ctx : nullptr);
                     }
                 }
             }
         }
     }
 };
+
+const int Extractor::CDX[8] = {0, 1, 1, 0, 0, 1, 1, 0};
+const int Extractor::CDY[8] = {0, 0, 1, 1, 0, 0, 1, 1};
+const int Extractor::CDZ[8] = {0, 0, 0, 0, 1, 1, 1, 1};
+
+// derived from EDGE_C + the corner offsets: per edge, its axis (the weld
+// table's dir slot), the endpoint with the smaller coordinate (== smaller
+// flat id, the canonical weld origin), and whether that endpoint is
+// EDGE_C[e][1] (the passed va/vb must swap to keep t measured from it)
+const int Extractor::EDGE_DIR[12] = {0, 1, 0, 1, 0, 1, 0, 1, 2, 2, 2, 2};
+const int Extractor::EDGE_ORIG[12] = {0, 1, 3, 0, 4, 5, 7, 4, 0, 1, 2, 3};
+const bool Extractor::EDGE_SWAPPED[12] = {
+    false, false, true, true, false, false, true, true,
+    false, false, false, false};
 
 const int Extractor::TETS[6][4] = {
     {0, 5, 1, 6}, {0, 1, 2, 6}, {0, 2, 3, 6},

@@ -129,7 +129,8 @@ def main():
     print(f"cloth WNF shipped bricks/garment: {n_active} "
           f"(brick cap {engine.brick_cap}, heavy={heavy})", file=sys.stderr)
     pages = jax.jit(
-        lambda b, v: pack_brick_pages(b, v, engine.brick_page))(base, vals)
+        lambda b, v, c: pack_brick_pages(b, v, engine.brick_page,
+                                         counts=c))(base, vals, counts)
 
     # Bench fidelity (VERDICT r2 weak #3): jax.Array caches its host copy
     # after the first fetch, so substituting ONE device-resident page set

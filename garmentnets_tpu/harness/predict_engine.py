@@ -33,7 +33,8 @@ from garmentnets_tpu.models.pipeline import (
 from garmentnets_tpu.ops.gaussian import gaussian_gradient_magnitude
 from garmentnets_tpu.ops.dense_decode import dense_decode, eval_layers
 from garmentnets_tpu.ops.isosurface import (
-    extract_active_bricks, pack_brick_pages, unpack_brick_pages)
+    extract_active_bricks, pack_brick_pages, unpack_brick_pages,
+    read_page_counts)
 from garmentnets_tpu.ops.marching_cubes import (
     marching_cubes_bricks, marching_cubes)
 
@@ -58,7 +59,7 @@ class PredictEngine:
     def __init__(self, cfg: PipelineConfig, variables: dict,
                  volume_size: int = 128, gradient_sigma: float = 0.5,
                  iso_level: float = 0.5, gradient_direction: str = "ascent",
-                 mesh=None, warp_bucket: int = 8192,
+                 mesh=None, warp_bucket: Optional[int] = None,
                  active_cap: Optional[int] = None,
                  # HIGH = bf16_3x matmuls: ~25% faster dense decode than
                  # HIGHEST at ~3e-5 absolute WNF error (sub-1e-4 vertex
@@ -85,6 +86,17 @@ class PredictEngine:
         self.gradient_sigma = gradient_sigma
         self.iso_level = float(iso_level)
         self.gradient_direction = gradient_direction
+        import os
+        if warp_bucket is None:
+            # warp query/result buffers pad every garment to
+            # ceil(vmax/bucket)*bucket rows; at a ~33k-vert cloth mesh the
+            # old 8192 bucket shipped 40960 rows (23% padding) over a
+            # 30-50 MB/s tunnel where padding bytes are pure host pump
+            # time. 4096 keeps compile-shape churn bounded (one warp
+            # program per distinct padded size) while halving worst-case
+            # padding. GARMENTNETS_WARP_BUCKET overrides for tuning.
+            warp_bucket = int(os.environ.get("GARMENTNETS_WARP_BUCKET",
+                                             "4096"))
         self.warp_bucket = warp_bucket
         if active_cap is None:
             # active cubes scale with iso-surface AREA ~ volume_size^2; the
@@ -204,8 +216,12 @@ class PredictEngine:
 
         nd = p2_result["nocs_data"]
         out = {
-            "active_pages": pack_brick_pages(base, vals, self.brick_page),
-            "active_counts": counts,
+            # page 0 carries the counts in a header row: the host learns
+            # them from the page fetch it does anyway instead of a separate
+            # ~20 ms active_counts round trip (profile_bench_loop 'counts')
+            "active_pages": pack_brick_pages(base, vals, self.brick_page,
+                                             counts=counts),
+            "active_counts": counts,   # still exported for sharding tests
             "wnf_ggm": ggm,                      # stays on device
             "feature_volume": feature_volume,    # stays on device
             "pred_nocs": nd["pos"],    # f32: feeds eval's NOCS metrics
@@ -267,7 +283,10 @@ class PredictEngine:
                             jnp.asarray(np.asarray(x, np.float32)),
                             jnp.asarray(np.asarray(pos, np.float32)))
 
-    PREFETCH_KEYS = ("active_counts",)
+    # active_counts is NOT prefetched: the counts ride page 0's header row
+    # (pack_brick_pages(counts=...)) which is always in the speculative
+    # page prefix below, so the host never pays a separate d2h sync
+    PREFETCH_KEYS = ()
 
     def prefetch(self, enc: dict, extra_keys=()):
         """Start async device->host copies for the arrays the host stage will
@@ -307,7 +326,16 @@ class PredictEngine:
         volume-gradient normals at the vertices (reference stores skimage's
         outputs at predict.py:172-197) — or None (no surface / NaN-sentinel
         case)."""
-        counts = np.asarray(enc["active_counts"])
+        pages = enc["active_pages"]
+        p0 = np.asarray(pages[0])
+        header = p0.shape[1] == self.brick_page + 1
+        if header:
+            # counts ride page 0's header row — page 0 was already
+            # speculatively prefetched at dispatch, so this costs no
+            # extra round trip (vs ~20 ms for a separate counts sync)
+            counts = read_page_counts(p0)
+        else:   # legacy enc dicts without the header (e.g. older captures)
+            counts = np.asarray(enc["active_counts"])
         B = len(counts)
         kmax = int(counts.max()) if B else 0
         S = self.volume_size
@@ -327,7 +355,6 @@ class PredictEngine:
                 except ValueError:
                     pass
             return results
-        pages = enc["active_pages"]
         n_pages = max(1, -(-kmax // self.brick_page))
         self._spec_pages = n_pages       # speculation for the next prefetch
         # re-issue copies for ALL needed pages, including page 0: prefetch()
@@ -337,7 +364,8 @@ class PredictEngine:
         for p in pages[:n_pages]:
             if hasattr(p, "copy_to_host_async"):
                 p.copy_to_host_async()
-        brick_idx, brick_vals = unpack_brick_pages(pages[:n_pages])
+        brick_idx, brick_vals = unpack_brick_pages(pages[:n_pages],
+                                                   header=header)
         for b in range(B):
             n = int(counts[b])
             if n == 0:

@@ -114,7 +114,7 @@ def dequantize_vals(vals, level: float):
     return vals.astype(np.float32)
 
 
-def _pack_pages(base, payload_i8, page: int):
+def _pack_pages(base, payload_i8, page: int, counts=None):
     """Shared page packer: (base [B,cap] i32, payload [B,cap,K] i8) ->
     tuple of [B, page, 4+K]-uint8 transfer buffers (4 little-endian index
     bytes + K payload bytes per record).
@@ -125,7 +125,15 @@ def _pack_pages(base, payload_i8, page: int):
     device-side dynamic slice on the critical path (each page is its own
     XLA output buffer — the host picks which to copy). Byte order is fixed
     by shift arithmetic (not bitcast) so host decode is platform-independent.
-    cap must be a multiple of page."""
+    cap must be a multiple of page.
+
+    When `counts` ([B] i32 true record counts, which MAY exceed cap) is
+    given, page 0 grows one HEADER row (shape [B, 1+page, 4+K]) whose
+    first 4 bytes carry the count little-endian. The host then learns the
+    per-garment counts from the page-0 fetch it performs anyway, instead
+    of a separate tiny d2h sync that costs a full ~20 ms tunnel round
+    trip per batch (measured: the 'counts' stage of
+    tools/profile_bench_loop.py)."""
     B, cap = base.shape
     assert cap % page == 0, (cap, page)
     b32 = base.astype(jnp.uint32)
@@ -134,14 +142,37 @@ def _pack_pages(base, payload_i8, page: int):
         axis=-1)                                           # [B, cap, 4]
     val_bytes = jax.lax.bitcast_convert_type(payload_i8, jnp.uint8)
     packed = jnp.concatenate([base_bytes, val_bytes], axis=-1)
-    return tuple(jnp.split(packed, cap // page, axis=1))
+    pages = list(jnp.split(packed, cap // page, axis=1))
+    if counts is not None:
+        rec = packed.shape[-1]
+        c32 = counts.astype(jnp.uint32)
+        hdr = jnp.stack(
+            [(c32 >> (8 * i)).astype(jnp.uint8) for i in range(4)],
+            axis=-1)                                       # [B, 4]
+        hdr = jnp.pad(hdr, ((0, 0), (0, rec - 4)))[:, None, :]
+        pages[0] = jnp.concatenate([hdr, pages[0]], axis=1)
+    return tuple(pages)
 
 
-def _unpack_pages(pages):
-    """Host inverse of _pack_pages over the fetched page prefix: returns
-    (base [B, n*page] int32, payload [B, n*page, K] int8)."""
+def read_page_counts(page0) -> "np.ndarray":
+    """Decode the [B] int32 record counts from a header-stamped page 0
+    (see _pack_pages(counts=...)). Accepts the device array or its host
+    fetch; JAX caches the host copy so re-reading is free."""
     import numpy as np
-    buf = np.concatenate([np.asarray(p) for p in pages], axis=1)
+    h = np.asarray(page0)[:, 0, :4].astype(np.uint32)
+    return (h[:, 0] | (h[:, 1] << 8) | (h[:, 2] << 16)
+            | (h[:, 3] << 24)).view(np.int32)
+
+
+def _unpack_pages(pages, header: bool = False):
+    """Host inverse of _pack_pages over the fetched page prefix: returns
+    (base [B, n*page] int32, payload [B, n*page, K] int8). header=True
+    strips the count row _pack_pages(counts=...) prepended to page 0."""
+    import numpy as np
+    arrs = [np.asarray(p) for p in pages]
+    if header and arrs:
+        arrs[0] = arrs[0][:, 1:]
+    buf = np.concatenate(arrs, axis=1)
     base = (buf[:, :, 0].astype(np.uint32)
             | (buf[:, :, 1].astype(np.uint32) << 8)
             | (buf[:, :, 2].astype(np.uint32) << 16)
@@ -432,13 +463,17 @@ def crossing_edge_mask_np(brick_idx, brick_vals_q, level: float,
     return mask
 
 
-def pack_brick_pages(base, vals_q, page: int):
+def pack_brick_pages(base, vals_q, page: int, counts=None):
     """Brick record pages (PRODUCTION path): [B, page, 68] uint8 (4 index +
-    64 quantized voxel bytes). See _pack_pages for the layout rationale."""
-    return _pack_pages(base, vals_q, page)
+    64 quantized voxel bytes). With `counts`, page 0 gains a header row
+    carrying the true shipped-brick counts (see _pack_pages) so the host
+    skips the separate active_counts d2h sync. See _pack_pages for the
+    layout rationale."""
+    return _pack_pages(base, vals_q, page, counts=counts)
 
 
-def unpack_brick_pages(pages):
+def unpack_brick_pages(pages, header: bool = False):
     """Host inverse of pack_brick_pages over the fetched page prefix:
-    (brick_idx [B, n*page] int32, vals_q [B, n*page, 64] int8)."""
-    return _unpack_pages(pages)
+    (brick_idx [B, n*page] int32, vals_q [B, n*page, 64] int8).
+    header=True strips the page-0 count row."""
+    return _unpack_pages(pages, header=header)

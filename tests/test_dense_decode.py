@@ -148,6 +148,65 @@ def test_active_page_roundtrip():
     np.testing.assert_array_equal(got_base2, base[:, :2 * page])
 
 
+def test_brick_page_count_header_roundtrip():
+    """pack_brick_pages(counts=...) stamps a header row on page 0 whose
+    first 4 bytes are the little-endian per-garment counts; read_page_counts
+    recovers them exactly (incl. counts > cap, the overflow signal) and
+    unpack(header=True) strips the row so record decode is unchanged."""
+    from garmentnets_tpu.ops.isosurface import (
+        pack_brick_pages, unpack_brick_pages, read_page_counts)
+    rng = np.random.RandomState(1)
+    B, cap, page = 3, 512, 128
+    base = rng.randint(0, 64 ** 3, size=(B, cap)).astype(np.int32)
+    vals = rng.randint(-127, 128, size=(B, cap, 64)).astype(np.int8)
+    # counts may legally exceed cap (host falls back to full-volume MC)
+    counts = np.array([37, cap + 999, 0], np.int32)
+    pages = pack_brick_pages(jnp.asarray(base), jnp.asarray(vals), page,
+                             counts=jnp.asarray(counts))
+    assert pages[0].shape == (B, page + 1, 68)      # header row
+    assert pages[1].shape == (B, page, 68)          # others unchanged
+    np.testing.assert_array_equal(read_page_counts(pages[0]), counts)
+    got_b, got_v = unpack_brick_pages(pages, header=True)
+    np.testing.assert_array_equal(got_b, base)
+    np.testing.assert_array_equal(got_v, vals)
+    # prefix decode (header page only)
+    got_b1, _ = unpack_brick_pages(pages[:1], header=True)
+    np.testing.assert_array_equal(got_b1, base[:, :page])
+
+
+def test_extract_meshes_reads_header_counts():
+    """The engine must recover counts from the page-0 header (no separate
+    active_counts sync): meshes from a header-stamped enc dict equal the
+    legacy path's, and the header path works without an active_counts
+    entry at all."""
+    from garmentnets_tpu.ops.isosurface import (
+        extract_active_bricks, pack_brick_pages)
+    from garmentnets_tpu.harness.predict_engine import PredictEngine
+    from garmentnets_tpu.models.pipeline import (
+        ConvImplicitWNFPipeline, PipelineConfig)
+    from garmentnets_tpu.models.pointnet2_nocs import PointNet2NOCSConfig
+    cfg = PipelineConfig(pointnet2=PointNet2NOCSConfig())
+    model = ConvImplicitWNFPipeline(cfg)
+    eng = PredictEngine.__new__(PredictEngine)   # no weights needed
+    eng.model, eng.cfg = model, cfg
+    eng.volume_size, eng.iso_level = 16, 0.5
+    eng.brick_cap, eng.brick_page = 64, 16
+    eng.gradient_direction = "ascent"
+    S = eng.volume_size
+    x, y, z = np.mgrid[:S, :S, :S] / (S - 1.0)
+    vol = 1.0 - 2.0 * np.sqrt((x - .5) ** 2 + (y - .5) ** 2 + (z - .5) ** 2)
+    wnf = jnp.asarray(vol[None].astype(np.float32))
+    base, vals, counts = extract_active_bricks(wnf, 0.5, eng.brick_cap)
+    hdr_pages = pack_brick_pages(base, vals, eng.brick_page, counts=counts)
+    legacy_pages = pack_brick_pages(base, vals, eng.brick_page)
+    got_h = eng.extract_meshes({"active_pages": hdr_pages})
+    got_l = eng.extract_meshes({"active_pages": legacy_pages,
+                                "active_counts": counts})
+    assert got_h[0] is not None and got_l[0] is not None
+    for a, b in zip(got_h[0], got_l[0]):
+        np.testing.assert_array_equal(a, b)
+
+
 def test_brick_extraction_matches_cube_extraction():
     """extract_active_bricks + host cube discovery must produce exactly the
     cube set (and corner values) of extract_active_cubes on the dequantized

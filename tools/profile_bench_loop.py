@@ -47,7 +47,8 @@ def main():
     from garmentnets_tpu.models.pointnet2_nocs import PointNet2NOCSConfig
     from garmentnets_tpu.harness.predict_engine import PredictEngine
     from garmentnets_tpu.ops.isosurface import (
-        extract_active_bricks, pack_brick_pages, unpack_brick_pages)
+        extract_active_bricks, pack_brick_pages, unpack_brick_pages,
+        read_page_counts)
     from garmentnets_tpu.ops.marching_cubes import marching_cubes_bricks
     from bench import _cloth_like_wnf
 
@@ -72,7 +73,8 @@ def main():
         jnp.asarray(np.broadcast_to(cloth, (B,) + cloth.shape)),
         0.5, engine.brick_cap)
     pages = jax.jit(
-        lambda b, v: pack_brick_pages(b, v, engine.brick_page))(base, vals)
+        lambda b, v, c: pack_brick_pages(b, v, engine.brick_page,
+                                         counts=c))(base, vals, counts)
     zero_pages = jax.device_put(
         tuple(np.zeros(p.shape, p.dtype) for p in pages))
     zero_counts = jax.device_put(np.zeros(counts.shape, counts.dtype))
@@ -92,13 +94,16 @@ def main():
         t[key] += time.perf_counter() - t0
         return out
 
-    # instrumented extract_meshes (same logic, staged timers)
+    # instrumented extract_meshes (same logic, staged timers). counts now
+    # ride page 0's header row: the 'counts' stage times the page-0 fetch
+    # that yields them (usually ~0 — page 0 was prefetched at dispatch)
     def extract_meshes_traced(enc):
-        counts_h = clock("counts", lambda: np.asarray(enc["active_counts"]))
+        pages_d = enc["active_pages"]
+        counts_h = clock(
+            "counts", lambda: read_page_counts(pages_d[0]))
         kmax = int(counts_h.max())
         S = engine.volume_size
         spacing = (1.0 / (S - 1),) * 3
-        pages_d = enc["active_pages"]
         n_pages = max(1, -(-kmax // engine.brick_page))
         engine._spec_pages = n_pages
 
@@ -106,7 +111,7 @@ def main():
             for p in pages_d[:n_pages]:
                 if hasattr(p, "copy_to_host_async"):
                     p.copy_to_host_async()
-            return unpack_brick_pages(pages_d[:n_pages])
+            return unpack_brick_pages(pages_d[:n_pages], header=True)
 
         brick_idx, brick_vals = clock("pages", fetch)
         results = [None] * len(counts_h)

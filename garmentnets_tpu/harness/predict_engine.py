@@ -366,20 +366,55 @@ class PredictEngine:
                 p.copy_to_host_async()
         brick_idx, brick_vals = unpack_brick_pages(pages[:n_pages],
                                                    header=header)
-        for b in range(B):
+
+        def run_one(b):
             n = int(counts[b])
             if n == 0:
-                continue
+                return None
             try:
-                v, f, vals, norms = marching_cubes_bricks(
+                return marching_cubes_bricks(
                     brick_idx[b, :n], brick_vals[b, :n], (S, S, S),
                     self.iso_level, spacing,
                     gradient_direction=self.gradient_direction,
                     return_values=True, return_normals=True)
-                results[b] = (v, f, vals, norms)
             except ValueError:
-                pass
+                return None
+
+        # Per-garment MC calls are independent (the C++ kernel keeps all
+        # state per-call; its only statics are const tables) and ctypes
+        # releases the GIL for the call's duration, so on multi-core hosts
+        # they parallelize across a small thread pool. The sandbox host has
+        # one core (auto resolves to serial there); on a production host
+        # this overlaps the dominant host stage with itself AND with the
+        # tunnel/PCIe transfer pumping (docs/PERF.md attribution table).
+        pool = self._mc_pool()
+        if pool is not None and B > 1:
+            for b, r in enumerate(pool.map(run_one, range(B))):
+                results[b] = r
+        else:
+            for b in range(B):
+                results[b] = run_one(b)
         return results
+
+    def _mc_pool(self):
+        """Thread pool for per-garment host MC; GARMENTNETS_MC_THREADS
+        (default auto: min(4, cpu_count) when >1 core, serial otherwise).
+        Returns None for serial execution."""
+        if not hasattr(self, "_mc_pool_obj"):
+            import os
+            raw = os.environ.get("GARMENTNETS_MC_THREADS", "auto")
+            if raw == "auto":
+                ncpu = os.cpu_count() or 1
+                n = min(4, ncpu) if ncpu > 1 else 1
+            else:
+                n = max(1, int(raw))
+            if n > 1:
+                from concurrent.futures import ThreadPoolExecutor
+                self._mc_pool_obj = ThreadPoolExecutor(
+                    max_workers=n, thread_name_prefix="mc")
+            else:
+                self._mc_pool_obj = None
+        return self._mc_pool_obj
 
     def _dense_wnf(self, enc):
         if "wnf_volume" in enc:

@@ -207,6 +207,48 @@ def test_extract_meshes_reads_header_counts():
         np.testing.assert_array_equal(a, b)
 
 
+def test_extract_meshes_threaded_matches_serial(monkeypatch):
+    """GARMENTNETS_MC_THREADS>1 runs per-garment MC on a thread pool (the
+    C++ kernel is per-call-state only and ctypes drops the GIL); outputs
+    must be bitwise identical to the serial path for every garment."""
+    from garmentnets_tpu.ops.isosurface import (
+        extract_active_bricks, pack_brick_pages)
+    from garmentnets_tpu.harness.predict_engine import PredictEngine
+    from garmentnets_tpu.models.pipeline import (
+        ConvImplicitWNFPipeline, PipelineConfig)
+    from garmentnets_tpu.models.pointnet2_nocs import PointNet2NOCSConfig
+
+    def mk_engine():
+        eng = PredictEngine.__new__(PredictEngine)
+        eng.model = ConvImplicitWNFPipeline(
+            PipelineConfig(pointnet2=PointNet2NOCSConfig()))
+        eng.volume_size, eng.iso_level = 16, 0.5
+        eng.brick_cap, eng.brick_page = 64, 16
+        eng.gradient_direction = "ascent"
+        return eng
+
+    S = 16
+    x, y, z = np.mgrid[:S, :S, :S] / (S - 1.0)
+    vols = np.stack([
+        1.0 - 2.0 * np.sqrt((x - .5) ** 2 + (y - .5) ** 2 + (z - .5) ** 2),
+        1.0 - 3.0 * np.maximum.reduce([abs(x - .5), abs(y - .4),
+                                       abs(z - .6)]),
+        np.zeros_like(x) - 1.0,                       # empty garment
+    ]).astype(np.float32)
+    base, vals, counts = extract_active_bricks(jnp.asarray(vols), 0.5, 64)
+    enc = {"active_pages": pack_brick_pages(base, vals, 16, counts=counts)}
+
+    monkeypatch.setenv("GARMENTNETS_MC_THREADS", "1")
+    serial = mk_engine().extract_meshes(enc)
+    monkeypatch.setenv("GARMENTNETS_MC_THREADS", "3")
+    threaded = mk_engine().extract_meshes(enc)
+    assert serial[2] is None and threaded[2] is None
+    for s, t in zip(serial[:2], threaded[:2]):
+        assert s is not None and t is not None
+        for a, b in zip(s, t):
+            np.testing.assert_array_equal(a, b)
+
+
 def test_brick_extraction_matches_cube_extraction():
     """extract_active_bricks + host cube discovery must produce exactly the
     cube set (and corner values) of extract_active_cubes on the dequantized

@@ -948,6 +948,19 @@ struct Extractor {
         build_dq_lut();
         int64_t corner_off[8];
         corner_offsets(corner_off);
+        // phase attribution (GARMENTNETS_MC_PROFILE=1): support fill vs
+        // cube-rejection scan vs surface emission, to aim future work at
+        // the measured phase (e.g. a device-computed straddle mask only
+        // pays if 'scan' dominates). ~12 chrono reads/brick, flag-gated.
+        const bool prof = getenv("GARMENTNETS_MC_PROFILE") != nullptr;
+        double t_fill = 0.0, t_proc = 0.0;
+        int64_t n_emit = 0, n_scanned = 0;
+        auto now = [] {
+            return std::chrono::duration<double>(
+                std::chrono::steady_clock::now().time_since_epoch())
+                .count();
+        };
+        double t_all0 = prof ? now() : 0.0;
         // per-cube support index of each corner within the 5^3 cache
         int sup_idx[4][4][4][8];
         for (int lx = 0; lx < 4; ++lx)
@@ -976,6 +989,7 @@ struct Extractor {
             }
             // dequantize the 5^3 support once per brick (the division
             // bit-matches the numpy host path)
+            double t0 = prof ? now() : 0.0;
             for (int a = 0; a < 5; ++a) {
                 int da = a >> 2;
                 for (int c = 0; c < 5; ++c) {
@@ -990,6 +1004,7 @@ struct Extractor {
                     }
                 }
             }
+            if (prof) t_fill += now() - t0;
             for (int lx = 0; lx < 4; ++lx) {
                 int64_t gx = bx + lx;
                 if (gx + 1 >= nx) break;
@@ -1017,10 +1032,14 @@ struct Extractor {
                             any_in |= in;
                             any_out |= !in;
                         }
+                        ++n_scanned;
                         if (!ok || !any_in || !any_out) continue;
+                        ++n_emit;
+                        double tp = prof ? now() : 0.0;
                         BrickCtx ctx{rows, lx, ly, lz, bx, by, bz};
                         process_cube(base_row + lz, corner_off, v8,
                                      method != 1 ? &ctx : nullptr);
+                        if (prof) t_proc += now() - tp;
                     }
                 }
             }

@@ -18,10 +18,14 @@ dense decode + ~100-200 ms host Lewiner MC + batch-1 python loop; see
 BASELINE.md) — the ">=10x garments/sec" target therefore maps to
 vs_baseline >= 10.
 
-Prints JSON lines {"metric", "value", "unit", "vs_baseline"}: one immediately
-after the first timed rep (so a hard timeout still captures a valid number),
-then a refined median once all BENCH_REPS reps finish. The LAST JSON line on
-stdout is the most refined; any JSON line is valid.
+Prints JSON lines {"metric", "value", "unit", "vs_baseline"}: one after a
+SHORT 3-batch rep 0 (lands within ~2 min even on a degraded link, so a hard
+timeout still captures a valid number), then a refined running median after
+every full rep. The LAST JSON line on stdout is the most refined; any JSON
+line is valid. Stderr carries a link-health canary, a timestamped line per
+stage, and a 45 s watchdog heartbeat naming the current stage — a degraded
+device tunnel (observed 2026-08-20: 0.45 s warm dispatch vs 0.035 s healthy)
+produces an attributed tail instead of a silent null capture.
 """
 from __future__ import annotations
 
@@ -67,10 +71,64 @@ def _cloth_like_wnf(vol: int, heavy: bool = False) -> np.ndarray:
     return np.where(inside_xz, wnf, 0.0).astype(np.float32)
 
 
+_T0 = time.time()
+_STAGE = ["startup"]
+
+
+def _log(msg: str) -> None:
+    print(f"[t+{time.time() - _T0:7.1f}s] {msg}", file=sys.stderr,
+          flush=True)
+
+
+def _stage(name: str) -> None:
+    _STAGE[0] = name
+    _log(name)
+
+
+def _start_watchdog(period: float = 45.0) -> None:
+    """Daemon thread: one heartbeat line per period naming the current
+    stage, so a degraded device tunnel produces an attributable tail
+    instead of a silent 30-minute burn (round-4 BENCH capture was
+    rc=124/null with ~29 silent minutes; VERDICT r4 weak #3)."""
+    import threading
+
+    def beat():
+        while True:
+            time.sleep(period)
+            _log(f"heartbeat: still in '{_STAGE[0]}'")
+
+    threading.Thread(target=beat, daemon=True).start()
+
+
+def _link_canary() -> None:
+    """Time one tiny jitted op, cold then warm. On a healthy link the warm
+    dispatch+fetch is < 50 ms; the 2026-08-20 degraded tunnel measured
+    ~0.45 s warm and 49-187 s cold — printing these two numbers first turns
+    a null capture into an attributed one."""
+    import jax
+    import jax.numpy as jnp
+
+    _stage("link canary: device init + 1-elem jitted add (cold)")
+    x = jnp.ones((1,), jnp.float32)
+    f = jax.jit(lambda a: a + 1)
+    t0 = time.time()
+    float(f(x)[0])
+    cold = time.time() - t0
+    t0 = time.time()
+    float(f(x)[0])
+    warm = time.time() - t0
+    verdict = ("healthy" if warm < 0.1 else
+               "DEGRADED" if warm < 2.0 else "SEVERELY DEGRADED")
+    _log(f"link canary: cold {cold:.1f}s, warm {warm:.3f}s -> {verdict} "
+         "(healthy warm < 0.05s)")
+
+
 def main():
     import jax
     from garmentnets_tpu.core import jaxcfg
     jaxcfg.setup()
+    _start_watchdog()
+    _link_canary()
     from garmentnets_tpu.models.pipeline import PipelineConfig
     from garmentnets_tpu.models.pointnet2_nocs import PointNet2NOCSConfig
     from garmentnets_tpu.models.pipeline import ConvImplicitWNFPipeline
@@ -87,7 +145,7 @@ def main():
     # Pallas FPS autodetects in ops/pointcloud (GARMENTNETS_FPS overrides)
     from garmentnets_tpu.ops.pointcloud import _pallas_fps_available
     if _pallas_fps_available():
-        print("using pallas FPS", file=sys.stderr)
+        _log("using pallas FPS")
 
     cfg = PipelineConfig(pointnet2=PointNet2NOCSConfig())
     model = ConvImplicitWNFPipeline(cfg)
@@ -98,11 +156,12 @@ def main():
         "volume_query_points": rng.rand(B, 64, 3).astype(np.float32),
         "surf_query_points": rng.rand(B, 64, 3).astype(np.float32),
     }
+    _stage("model init (jitted)")
     t0 = time.time()
     variables = jax.jit(
         lambda r: model.init(r, batch, train=False))(jax.random.PRNGKey(0))
     jax.block_until_ready(variables)
-    print(f"init: {time.time()-t0:.1f}s", file=sys.stderr)
+    _log(f"init: {time.time()-t0:.1f}s")
 
     # BENCH_DECODE=default|high|highest: dense-decode matmul precision
     # (headline default 'high' is the parity-safe setting, see
@@ -121,13 +180,14 @@ def main():
     # more cubes than a blob — this bounds real-garment MC density from
     # above better than the round-1 sphere did.
     heavy = os.environ.get("BENCH_HEAVY", "0") == "1"
+    _stage("cloth-WNF brick extraction (compile)")
     cloth_wnf = _cloth_like_wnf(VOL, heavy=heavy)
     base, vals, counts = extract_active_bricks(
         jnp.asarray(np.broadcast_to(cloth_wnf, (B,) + cloth_wnf.shape)),
         0.5, engine.brick_cap)
     n_active = int(np.asarray(counts)[0])
-    print(f"cloth WNF shipped bricks/garment: {n_active} "
-          f"(brick cap {engine.brick_cap}, heavy={heavy})", file=sys.stderr)
+    _log(f"cloth WNF shipped bricks/garment: {n_active} "
+         f"(brick cap {engine.brick_cap}, heavy={heavy})")
     pages = jax.jit(
         lambda b, v, c: pack_brick_pages(b, v, engine.brick_page,
                                          counts=c))(base, vals, counts)
@@ -155,16 +215,17 @@ def main():
     sub = fresh_sub()
 
     # warmup / compile
+    _stage("encode+MC warmup (compile; slow when XLA cache is cold)")
     t0 = time.time()
     enc = dict(engine.encode(batch["x"], batch["pos"]), **sub)
     engine.prefetch(enc)
     meshes = engine.extract_meshes(enc)
-    print(f"encode+MC compile: {time.time()-t0:.1f}s", file=sys.stderr)
+    _log(f"encode+MC compile: {time.time()-t0:.1f}s")
+    _stage("warp warmup (compile)")
     t0 = time.time()
     warps = engine.warp_collect(engine.warp_dispatch(enc, meshes))
     nv = len(meshes[0][0]) if meshes[0] else 0
-    print(f"warp compile ({nv} verts): {time.time()-t0:.1f}s",
-          file=sys.stderr)
+    _log(f"warp compile ({nv} verts): {time.time()-t0:.1f}s")
 
     # timed loop: 5-stage software pipeline. Marching cubes for batch i runs
     # while the device executes encode(i+1)/(i+2) — keeping TWO encodes in
@@ -176,7 +237,7 @@ def main():
     # asynchronously at dispatch time.
     import collections
 
-    def timed_run():
+    def timed_run(n_batches=N_BATCHES):
         t_start = time.time()
         done = 0
         encs = collections.deque()
@@ -189,7 +250,7 @@ def main():
             warp_handles.append(engine.warp_dispatch(e, meshes))
             return len(meshes)
 
-        for i in range(N_BATCHES):
+        for i in range(n_batches):
             enc = dict(engine.encode(batch["x"], batch["pos"]),
                        **fresh_sub())
             engine.prefetch(enc)
@@ -220,15 +281,25 @@ def main():
             "vs_baseline": round(gps / baseline_gps, 2),
         }), flush=True)
 
+    # rep 0 is a SHORT run (3 batches): its JSON lands within ~2 min of
+    # start even through a degraded link, so a hard driver timeout still
+    # captures a valid (if pipeline-depth-penalized) number. The full reps
+    # then refine it; the median of the FULL reps is the headline.
     reps = int(os.environ.get("BENCH_REPS", "3"))
+    _stage("timed rep 0 (short: 3 batches)")
+    done, elapsed = timed_run(min(3, N_BATCHES))
+    short_rate = done / elapsed
+    _log(f"short rep: {done} garments in {elapsed:.2f}s "
+         f"({short_rate:.2f} g/s)")
+    emit(short_rate)
     rates = []
     for rep in range(reps):
+        _stage(f"timed rep {rep + 1}/{reps} ({N_BATCHES} batches)")
         done, elapsed = timed_run()
         rates.append(done / elapsed)
-        print(f"{done} garments in {elapsed:.2f}s "
-              f"({done / elapsed:.2f} g/s)", file=sys.stderr)
-        if rep == 0:
-            emit(rates[0])
+        _log(f"{done} garments in {elapsed:.2f}s "
+             f"({done / elapsed:.2f} g/s)")
+        emit(float(np.median(rates)))
     gps = float(np.median(rates))
 
     # overflow-cliff measurement is diagnostic-only and costs a second
@@ -256,8 +327,7 @@ def main():
               f"({gps / max(ov_gps, 1e-9):.1f}x slower than the active-list "
               "path)", file=sys.stderr)
 
-    if reps > 1:
-        emit(gps)
+    _log(f"final headline: {gps:.2f} g/s (median of {reps} full reps)")
 
 
 if __name__ == "__main__":

@@ -213,8 +213,11 @@ def main(cfg, run_dir=None) -> pathlib.Path:
         nonlocal n_done
         enc, batch_np, meshes, warp_handle, bidx = entry
         warps = engine.warp_collect(warp_handle)
-        enc_np = {k: np.asarray(v) for k, v in enc.items()
-                  if k in fetch_keys}
+        from garmentnets_tpu.harness.linkguard import guarded_fetch
+        enc_np = guarded_fetch(
+            lambda: {k: np.asarray(v) for k, v in enc.items()
+                     if k in fetch_keys},
+            "point-cloud output fetch")
         b = batch_np["x"].shape[0]
         for item in range(b):
             dataset_idx = int(batch_np["dataset_idx"][item])

@@ -39,6 +39,38 @@ from garmentnets_tpu.ops.marching_cubes import (
     marching_cubes_bricks, marching_cubes)
 
 
+_MC_POOLS: dict = {}
+
+
+def _shared_mc_pool():
+    """Process-wide MC thread pool (or None for serial); see
+    PredictEngine._mc_pool. GARMENTNETS_MC_THREADS is re-read per call
+    (tests flip it), but pools are cached per resolved width — one pool per
+    distinct width for the process lifetime, shut down atexit, instead of
+    the per-engine pools that leaked 4 threads per instance. First pool
+    creation pre-loads the C++ MC library on the calling thread so pool
+    workers never race its compile-and-dlopen step."""
+    import os
+    raw = os.environ.get("GARMENTNETS_MC_THREADS", "auto")
+    if raw == "auto":
+        ncpu = os.cpu_count() or 1
+        n = min(4, ncpu) if ncpu > 1 else 1
+    else:
+        n = max(1, int(raw))
+    if n <= 1:
+        return None
+    pool = _MC_POOLS.get(n)
+    if pool is None:
+        import atexit
+        from concurrent.futures import ThreadPoolExecutor
+        from garmentnets_tpu.ops.marching_cubes import _load_lib
+        _load_lib()
+        pool = ThreadPoolExecutor(max_workers=n, thread_name_prefix="mc")
+        atexit.register(pool.shutdown, wait=False)
+        _MC_POOLS[n] = pool
+    return pool
+
+
 def decode_precision_from_str(name: str):
     """Maps the `prediction.decode_precision` config value ('high' |
     'default' | 'highest') to a jax.lax.Precision (single source of truth
@@ -326,8 +358,10 @@ class PredictEngine:
         volume-gradient normals at the vertices (reference stores skimage's
         outputs at predict.py:172-197) — or None (no surface / NaN-sentinel
         case)."""
+        from garmentnets_tpu.harness.linkguard import guarded_fetch
         pages = enc["active_pages"]
-        p0 = np.asarray(pages[0])
+        p0 = guarded_fetch(lambda: np.asarray(pages[0]),
+                           "brick page 0 (counts header)")
         header = p0.shape[1] == self.brick_page + 1
         if header:
             # counts ride page 0's header row — page 0 was already
@@ -335,6 +369,14 @@ class PredictEngine:
             # extra round trip (vs ~20 ms for a separate counts sync)
             counts = read_page_counts(p0)
         else:   # legacy enc dicts without the header (e.g. older captures)
+            if p0.shape[1] != self.brick_page:
+                # a capture produced with a different brick_page than this
+                # engine would otherwise be silently misparsed (the count
+                # row decoded as a brick record, or vice versa)
+                raise ValueError(
+                    f"brick page size mismatch: pages carry rows of "
+                    f"{p0.shape[1]} bricks, engine expects "
+                    f"{self.brick_page} (+1 if a counts header row)")
             counts = np.asarray(enc["active_counts"])
         B = len(counts)
         kmax = int(counts.max()) if B else 0
@@ -364,8 +406,10 @@ class PredictEngine:
         for p in pages[:n_pages]:
             if hasattr(p, "copy_to_host_async"):
                 p.copy_to_host_async()
-        brick_idx, brick_vals = unpack_brick_pages(pages[:n_pages],
-                                                   header=header)
+        brick_idx, brick_vals = guarded_fetch(
+            lambda: unpack_brick_pages(pages[:n_pages], header=header),
+            f"brick pages 1..{n_pages - 1}" if n_pages > 1
+            else "brick page unpack")
 
         def run_one(b):
             n = int(counts[b])
@@ -399,22 +443,11 @@ class PredictEngine:
     def _mc_pool(self):
         """Thread pool for per-garment host MC; GARMENTNETS_MC_THREADS
         (default auto: min(4, cpu_count) when >1 core, serial otherwise).
-        Returns None for serial execution."""
-        if not hasattr(self, "_mc_pool_obj"):
-            import os
-            raw = os.environ.get("GARMENTNETS_MC_THREADS", "auto")
-            if raw == "auto":
-                ncpu = os.cpu_count() or 1
-                n = min(4, ncpu) if ncpu > 1 else 1
-            else:
-                n = max(1, int(raw))
-            if n > 1:
-                from concurrent.futures import ThreadPoolExecutor
-                self._mc_pool_obj = ThreadPoolExecutor(
-                    max_workers=n, thread_name_prefix="mc")
-            else:
-                self._mc_pool_obj = None
-        return self._mc_pool_obj
+        Returns None for serial execution. The pool is a module-level
+        singleton shared by every engine (workers are stateless; per-engine
+        pools leaked 4 threads per instance in long-lived multi-engine
+        processes) and is shut down atexit."""
+        return _shared_mc_pool()
 
     def _dense_wnf(self, enc):
         if "wnf_volume" in enc:
@@ -457,10 +490,11 @@ class PredictEngine:
         return res
 
     def warp_collect(self, handle) -> list:
+        from garmentnets_tpu.harness.linkguard import guarded_fetch
         out, sizes = handle
         if out is None:
             return [None] * len(sizes)
-        out = np.asarray(out)
+        out = guarded_fetch(lambda: np.asarray(out), "warp result buffer")
         return [None if n == 0 else self._split_channels(out[b, :n])
                 for b, n in enumerate(sizes)]
 

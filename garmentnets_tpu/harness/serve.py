@@ -283,8 +283,11 @@ class PredictService:
         self._publish(enc, jobs, meshes, warps)
 
     def _publish(self, enc, jobs, meshes, warps):
-        pred_nocs = np.asarray(enc["pred_nocs"])
-        pred_conf = np.asarray(enc["pred_nocs_confidence"], np.float32)
+        from garmentnets_tpu.harness.linkguard import guarded_fetch
+        pred_nocs, pred_conf = guarded_fetch(
+            lambda: (np.asarray(enc["pred_nocs"]),
+                     np.asarray(enc["pred_nocs_confidence"], np.float32)),
+            "serve NOCS output fetch")
         self.stats["batches"] += 1
         for i, job in enumerate(jobs):
             m, w = meshes[i], warps[i]

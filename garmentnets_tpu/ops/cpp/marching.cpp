@@ -32,8 +32,10 @@
 //
 // Build: g++ -O3 -shared -fPIC -o libmarching.so marching.cpp
 
+#include <chrono>
 #include <cmath>
 #include <cstdint>
+#include <cstdio>
 #include <cstdlib>
 #include <cstring>
 #include <vector>
@@ -1043,6 +1045,16 @@ struct Extractor {
                     }
                 }
             }
+        }
+        if (prof) {
+            double t_all = now() - t_all0;
+            fprintf(stderr,
+                    "[mc-profile] bricks=%lld scanned=%lld emitted=%lld "
+                    "fill=%.1fms scan=%.1fms proc=%.1fms total=%.1fms\n",
+                    (long long)n_bricks, (long long)n_scanned,
+                    (long long)n_emit, t_fill * 1e3,
+                    (t_all - t_fill - t_proc) * 1e3, t_proc * 1e3,
+                    t_all * 1e3);
         }
     }
 };

@@ -20,8 +20,10 @@ reference predict.py:165-189, depends on this).
 from __future__ import annotations
 
 import ctypes
+import os
 import pathlib
 import subprocess
+import threading
 from typing import Tuple
 
 import numpy as np
@@ -29,20 +31,39 @@ import numpy as np
 _CPP_DIR = pathlib.Path(__file__).parent / "cpp"
 _LIB = None
 _LIB_FAILED = False
+_LIB_LOCK = threading.Lock()
 
 
 def _load_lib():
+    # Double-checked locking: the engine's per-garment MC thread pool can
+    # hit first use from several workers at once; without the lock two
+    # racing g++ subprocesses truncate the same .so and a dlopen of the
+    # partially written file pins the process to the pure-Python fallback.
     global _LIB, _LIB_FAILED
     if _LIB is not None or _LIB_FAILED:
         return _LIB
+    with _LIB_LOCK:
+        if _LIB is not None or _LIB_FAILED:
+            return _LIB
+        return _load_lib_locked()
+
+
+def _load_lib_locked():
+    global _LIB, _LIB_FAILED
     so = _CPP_DIR / "libmarching.so"
     src = _CPP_DIR / "marching.cpp"
     try:
         if (not so.exists()
                 or so.stat().st_mtime < src.stat().st_mtime):
+            # compile to a pid-unique temp path and os.rename into place:
+            # atomic on POSIX, so a CONCURRENT PROCESS (e.g. pytest -n or
+            # the eval process pool) never dlopens a half-written file
+            tmp = so.with_suffix(f".{os.getpid()}.tmp.so")
             subprocess.run(
-                ["g++", "-O3", "-shared", "-fPIC", "-o", str(so), str(src)],
+                ["g++", "-O3", "-shared", "-fPIC", "-o", str(tmp),
+                 str(src)],
                 check=True, capture_output=True)
+            os.rename(tmp, so)
         lib = ctypes.CDLL(str(so))
         float_pp = ctypes.POINTER(ctypes.POINTER(ctypes.c_float))
         out_args = [
@@ -78,7 +99,17 @@ def _load_lib():
                         float_pp, float_pp]
         lib.mt_free.argtypes = [ctypes.c_void_p]
         _LIB = lib
-    except Exception:
+    except Exception as e:
+        # LOUD fallback: the pure-Python MC is orders of magnitude slower;
+        # a silent flag here once masked a non-compiling source revision
+        # behind a stale prebuilt .so (round-5 find)
+        import sys
+        detail = ""
+        if isinstance(e, subprocess.CalledProcessError) and e.stderr:
+            detail = ": " + e.stderr.decode(errors="replace").strip()[-500:]
+        print(f"garmentnets_tpu: C++ marching-cubes unavailable ({e!r}"
+              f"{detail}); falling back to the SLOW pure-Python extractor",
+              file=sys.stderr, flush=True)
         _LIB_FAILED = True
     return _LIB
 

@@ -184,7 +184,7 @@ def main():
     cloth_wnf = _cloth_like_wnf(VOL, heavy=heavy)
     base, vals, counts = extract_active_bricks(
         jnp.asarray(np.broadcast_to(cloth_wnf, (B,) + cloth_wnf.shape)),
-        0.5, engine.brick_cap)
+        0.5, engine.brick_cap, with_masks=engine.cube_masks)
     n_active = int(np.asarray(counts)[0])
     _log(f"cloth WNF shipped bricks/garment: {n_active} "
          f"(brick cap {engine.brick_cap}, heavy={heavy})")

@@ -69,13 +69,16 @@ def process_item(engine, enc_np, item, batch_np, input_group, output_group,
     mc_data = _nan_mc_placeholders()
     if mesh is not None and warp is not None:
         mc_verts, mc_faces, mc_values, mc_normals = mesh
+        if mc_normals is None:    # device_normals engines: normals ride the
+            mc_normals = warp["normals"]        # warp result (ops/normals)
         mc_data = {
             "verts": mc_verts.astype(np.float32),
             "faces": mc_faces.astype(np.int32),
-            # unit volume-gradient normals from the MC kernel (skimage
-            # semantics: central differences of the field lerped at the
-            # vertex; reference stores skimage's gradient normals,
-            # predict.py:172-197)
+            # unit volume-gradient normals (skimage semantics: central
+            # differences of the field lerped at the vertex; reference
+            # stores skimage's gradient normals, predict.py:172-197) —
+            # from the host MC kernel, or the device warp program when
+            # engine.device_normals is on
             "normals": mc_normals.astype(np.float32),
             # true per-vertex volume value, emitted by the host MC kernel
             # from its corner values (skimage `values` semantics — max of
@@ -193,7 +196,8 @@ def main(cfg, run_dir=None) -> pathlib.Path:
         precision=precision,
         use_hole_prediction=bool(pred_cfg.get("use_hole_prediction")),
         task_aabb=(val_dataset.cloth_sim_aabb
-                   if pipe_cfg.volume_task_space else None))
+                   if pipe_cfg.volume_task_space else None),
+        device_normals=pred_cfg.get("device_normals"))
 
     store_logits = bool(pred_cfg.get("store_pred_nocs_logits", True))
     fetch_keys = ["pred_nocs", "pred_nocs_confidence", "global_logits",

@@ -99,7 +99,8 @@ class PredictEngine:
                  precision=jax.lax.Precision.HIGH,
                  return_volume: bool = False,
                  use_hole_prediction: bool = False,
-                 task_aabb: Optional[np.ndarray] = None):
+                 task_aabb: Optional[np.ndarray] = None,
+                 device_normals: Optional[bool] = None):
         self.cfg = cfg
         self.model = ConvImplicitWNFPipeline(cfg)
         # Pin the weights on device ONCE. Checkpoint loading hands numpy
@@ -152,6 +153,23 @@ class PredictEngine:
         self.brick_cap = -(-brick_cap // self.brick_page) * self.brick_page
         self.precision = precision
         self.return_volume = return_volume
+        if device_normals is None:
+            # MC vertex normals computed on DEVICE in the warp program
+            # (ops/normals: trilinear-lerped central-difference gradients,
+            # octahedral-packed into one extra f16 result lane) instead of
+            # by the host C++ kernel — the normals pass is ~28% of host MC
+            # at 256^3. Storage-only data downstream (reference
+            # predict.py:195; eval never reads them), so the ~1 deg oct
+            # quantization is safe; GARMENTNETS_DEVICE_NORMALS=0 restores
+            # the exact host path.
+            device_normals = os.environ.get(
+                "GARMENTNETS_DEVICE_NORMALS", "0") == "1"
+        self.device_normals = bool(device_normals)
+        # ship per-brick cube-straddle masks (+8 B/brick) so the host MC
+        # kernel skips its 64-cube rejection scan and all-empty support
+        # fills (ops/isosurface with_masks / C++ _masked entry point)
+        self.cube_masks = os.environ.get(
+            "GARMENTNETS_CUBE_MASKS", "0") == "1"
         self.use_hole_prediction = (use_hole_prediction
                                     and cfg.has_mc_surface_decoder)
         # task-space variant (reference apply_volume_task_space :279-295):
@@ -185,7 +203,8 @@ class PredictEngine:
             s for s in slab_choices
             if volume_size % s == 0 and (volume_size // s) % n_space == 0)
         self._encode = jax.jit(self._encode_impl)
-        self._warp = jax.jit(self._warp_impl)
+        self._warp = jax.jit(self._warp_impl_devnorm
+                             if self.device_normals else self._warp_impl)
         if mesh is not None:
             # mesh may be 1-D ("data",) — plain batch DP — or 2-D
             # ("data", "space"): batch DP composed with D-axis slab sharding
@@ -235,7 +254,8 @@ class PredictEngine:
             wnf, self.gradient_sigma,
             backend="xla" if self.mesh is not None else None)
         base, vals, counts = extract_active_bricks(
-            wnf, self.iso_level, self.brick_cap)
+            wnf, self.iso_level, self.brick_cap,
+            with_masks=getattr(self, "cube_masks", False))
 
         # NOTE on a rejected design: evaluating the warp decoder ON DEVICE
         # at the crossing edges (ops/isosurface.extract_crossing_edges +
@@ -271,7 +291,8 @@ class PredictEngine:
             "global_logits": p2_result["global_logits"],
             "global_feature": p2_result["global_feature"],
         }
-        if self.return_volume:
+        if self.return_volume or self.device_normals:
+            # device-resident; no link cost unless the host fetches it
             out["wnf_volume"] = wnf
         return out
 
@@ -305,6 +326,21 @@ class PredictEngine:
                 variables, feature_volume, query_points, train=False,
                 method="mc_surface_decoder_forward")[..., :1])
         return jnp.concatenate(cols, axis=-1).astype(jnp.float16)
+
+    def _warp_impl_devnorm(self, variables, feature_volume, ggm, wnf,
+                           query_points_f16):
+        """device_normals variant: the skimage-semantics MC vertex normals
+        (trilinear lerp of central-difference gradients at the vertex,
+        outward sign under 'ascent') ride the combined result buffer as ONE
+        octahedral-packed f16 lane (ops/normals), and the host C++ kernel
+        skips its normals pass (~28% of host MC at 256^3)."""
+        from garmentnets_tpu.ops.normals import sample_gradient_normals_oct
+        base = self._warp_impl(variables, feature_volume, ggm,
+                               query_points_f16)
+        oct = sample_gradient_normals_oct(
+            wnf, query_points_f16.astype(jnp.float32),
+            ascent=self.gradient_direction == "ascent")
+        return jnp.concatenate([base, oct.astype(jnp.float16)], axis=-1)
 
     # ------------------------------------------------------------------
     # host-facing API
@@ -345,9 +381,27 @@ class PredictEngine:
         pages = enc.get("active_pages")
         if pages:
             spec = max(1, min(getattr(self, "_spec_pages", 1), len(pages)))
-            for p in pages[:spec]:
-                if hasattr(p, "copy_to_host_async"):
-                    p.copy_to_host_async()
+            import os
+            concat_on = getattr(
+                self, "page_concat_enabled",
+                os.environ.get("GARMENTNETS_PAGE_CONCAT", "1") != "0")
+            if (concat_on and spec > 1
+                    and hasattr(pages[0], "copy_to_host_async")):
+                # coalesce the speculative prefix into ONE device buffer:
+                # each separate page fetch pays the link's ~27 ms
+                # per-transfer floor (transfers serialize on this tunnel),
+                # so a 4-page heavy load burns ~3 extra floors per batch.
+                # The concat program is dispatched asynchronously here (off
+                # the critical path — speculation means no counts wait) and
+                # costs only an HBM copy; one tiny jit per distinct prefix
+                # length (<= cap/page variants).
+                enc["_page_prefix"] = (spec, self._page_concat(spec)(
+                    *pages[:spec]))
+                enc["_page_prefix"][1].copy_to_host_async()
+            else:
+                for p in pages[:spec]:
+                    if hasattr(p, "copy_to_host_async"):
+                        p.copy_to_host_async()
 
     def extract_meshes(self, enc: dict) -> list:
         """Fetch the shipped brick pages once for the batch and run the host
@@ -360,9 +414,14 @@ class PredictEngine:
         case)."""
         from garmentnets_tpu.harness.linkguard import guarded_fetch
         pages = enc["active_pages"]
-        p0 = guarded_fetch(lambda: np.asarray(pages[0]),
-                           "brick page 0 (counts header)")
-        header = p0.shape[1] == self.brick_page + 1
+        prefix = enc.get("_page_prefix")   # (n_pages, concat buffer) or None
+        if prefix is not None:
+            p0 = guarded_fetch(lambda: np.asarray(prefix[1]),
+                               "brick page prefix (coalesced)")
+        else:
+            p0 = guarded_fetch(lambda: np.asarray(pages[0]),
+                               "brick page 0 (counts header)")
+        header = p0.shape[1] % self.brick_page == 1
         if header:
             # counts ride page 0's header row — page 0 was already
             # speculatively prefetched at dispatch, so this costs no
@@ -399,28 +458,47 @@ class PredictEngine:
             return results
         n_pages = max(1, -(-kmax // self.brick_page))
         self._spec_pages = n_pages       # speculation for the next prefetch
-        # re-issue copies for ALL needed pages, including page 0: prefetch()
-        # normally started it, but callers that skip prefetch() must not
-        # silently lose overlap — re-issuing an in-flight/completed async
-        # copy is documented as harmless
-        for p in pages[:n_pages]:
-            if hasattr(p, "copy_to_host_async"):
-                p.copy_to_host_async()
-        brick_idx, brick_vals = guarded_fetch(
-            lambda: unpack_brick_pages(pages[:n_pages], header=header),
-            f"brick pages 1..{n_pages - 1}" if n_pages > 1
-            else "brick page unpack")
+        if prefix is not None and prefix[0] >= n_pages:
+            # speculation hit: the coalesced prefix (ONE transfer, already
+            # fetched above for the counts) covers every needed page
+            brick_idx, brick_vals = unpack_brick_pages([p0], header=True)
+        else:
+            # miss (or no prefetch ran): fall back to per-page fetches.
+            # Re-issue copies for ALL needed pages, including page 0:
+            # prefetch() normally started them, but callers that skip
+            # prefetch() must not silently lose overlap — re-issuing an
+            # in-flight/completed async copy is documented as harmless
+            srcs = ([p0] + list(pages[prefix[0]:n_pages])
+                    if prefix is not None else list(pages[:n_pages]))
+            for p in srcs:
+                if hasattr(p, "copy_to_host_async"):
+                    p.copy_to_host_async()
+            brick_idx, brick_vals = guarded_fetch(
+                lambda: unpack_brick_pages(srcs, header=header),
+                f"brick pages ..{n_pages - 1}" if n_pages > 1
+                else "brick page unpack")
+
+        devnorm = getattr(self, "device_normals", False)
+        # payload may carry device-computed straddle masks (auto-detected
+        # by record width; the C++ kernel then skips its rejection scan)
+        from garmentnets_tpu.ops.isosurface import split_brick_payload
+        brick_vals, masks = split_brick_payload(brick_vals)
 
         def run_one(b):
             n = int(counts[b])
             if n == 0:
                 return None
             try:
-                return marching_cubes_bricks(
+                res = marching_cubes_bricks(
                     brick_idx[b, :n], brick_vals[b, :n], (S, S, S),
                     self.iso_level, spacing,
                     gradient_direction=self.gradient_direction,
-                    return_values=True, return_normals=True)
+                    return_values=True, return_normals=not devnorm,
+                    cube_masks=None if masks is None else masks[b, :n])
+                # device_normals: normals arrive in the warp result instead
+                # (octahedral lane, see _warp_impl_devnorm); keep the
+                # 4-tuple shape with a None placeholder
+                return res if not devnorm else (*res, None)
             except ValueError:
                 return None
 
@@ -439,6 +517,19 @@ class PredictEngine:
             for b in range(B):
                 results[b] = run_one(b)
         return results
+
+    def _page_concat(self, n: int):
+        """Jitted device-side concat of the first n brick pages into one
+        [B, n*page+1, rec] buffer (page 0 keeps its header row), so the
+        host's speculative prefix crosses the link as ONE transfer instead
+        of n. Cached per prefix length (bounded by cap/page)."""
+        if not hasattr(self, "_page_concat_fns"):
+            self._page_concat_fns = {}
+        fn = self._page_concat_fns.get(n)
+        if fn is None:
+            fn = jax.jit(lambda *ps: jnp.concatenate(ps, axis=1))
+            self._page_concat_fns[n] = fn
+        return fn
 
     def _mc_pool(self):
         """Thread pool for per-garment host MC; GARMENTNETS_MC_THREADS
@@ -477,8 +568,13 @@ class PredictEngine:
         for b, m in enumerate(meshes):
             if m is not None:
                 q[b, :len(m[0])] = m[0]
-        out = self._warp(self.variables, enc["feature_volume"],
-                         enc["wnf_ggm"], jnp.asarray(q))
+        if getattr(self, "device_normals", False):
+            out = self._warp(self.variables, enc["feature_volume"],
+                             enc["wnf_ggm"], enc["wnf_volume"],
+                             jnp.asarray(q))
+        else:
+            out = self._warp(self.variables, enc["feature_volume"],
+                             enc["wnf_ggm"], jnp.asarray(q))
         if hasattr(out, "copy_to_host_async"):
             out.copy_to_host_async()
         return (out, sizes)
@@ -487,6 +583,9 @@ class PredictEngine:
         res = {"warp_field": rows[..., :3], "verts_ggm": rows[..., 3]}
         if self.use_hole_prediction:
             res["mc_surface_logits"] = rows[..., 4]
+        if getattr(self, "device_normals", False):
+            from garmentnets_tpu.ops.normals import oct_decode_np
+            res["normals"] = oct_decode_np(rows[..., -1])
         return res
 
     def warp_collect(self, handle) -> list:
@@ -514,6 +613,11 @@ class PredictEngine:
         q[0, :v] = mc_verts
         S = self.volume_size
         ggm_dummy = jnp.zeros((1, S, S, S), jnp.float32)
-        out = np.asarray(self._warp(self.variables, feature_volume,
-                                    ggm_dummy, jnp.asarray(q)))
+        if getattr(self, "device_normals", False):
+            out = np.asarray(self._warp(self.variables, feature_volume,
+                                        ggm_dummy, ggm_dummy,
+                                        jnp.asarray(q)))
+        else:
+            out = np.asarray(self._warp(self.variables, feature_volume,
+                                        ggm_dummy, jnp.asarray(q)))
         return self._split_channels(out[0, :v])

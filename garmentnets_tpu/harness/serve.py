@@ -296,6 +296,8 @@ class PredictService:
                 job.result = {"ok": np.int32(0)}
             else:
                 verts, faces, values, normals = m
+                if normals is None:   # device_normals engines (ops/normals)
+                    normals = w["normals"]
                 job.result = {
                     "ok": np.int32(1),
                     "verts": verts.astype(np.float32),

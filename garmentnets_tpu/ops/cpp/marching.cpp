@@ -114,6 +114,8 @@ struct Extractor {
     // brick mode: quantized 4^3 int8 bricks + dense block-grid row map
     const int8_t* bricks = nullptr;       // [n_bricks * 64], local C-order
     const int32_t* brick_row = nullptr;   // [nbx*nby*nbz] -> row or -1
+    const uint8_t* cube_masks = nullptr;  // [n_bricks * 8] straddle bits
+                                          //   (LE; bit loc = local cube)
     int64_t nbx = 0, nby = 0, nbz = 0;
     float qscale = 0.f;                   // dequant: q / qscale + level
     // brick-mode edge welding: every grid edge is canonically owned by the
@@ -989,6 +991,12 @@ struct Extractor {
                 rows[d] = (qx < nbx && qy < nby && qz < nbz)
                               ? brick_row[(qx * nby + qy) * nbz + qz] : -1;
             }
+            uint64_t mask_bits = 0;
+            if (cube_masks) {
+                for (int bbyte = 7; bbyte >= 0; --bbyte)
+                    mask_bits = (mask_bits << 8) | cube_masks[i * 8 + bbyte];
+                if (mask_bits == 0) continue;   // no straddle: skip fill too
+            }
             // dequantize the 5^3 support once per brick (the division
             // bit-matches the numpy host path)
             double t0 = prof ? now() : 0.0;
@@ -1007,6 +1015,39 @@ struct Extractor {
                 }
             }
             if (prof) t_fill += now() - t0;
+            if (cube_masks) {
+                // device-computed straddle mask (bit loc = cube at local
+                // voxel loc straddles; side-preserving quantization makes
+                // it identical to the corner test below): iterate set bits
+                // only — the 64-cube rejection scan and the all-empty
+                // bricks' support fills are skipped entirely.
+                uint64_t m = mask_bits;
+                while (m) {
+                    int loc = __builtin_ctzll(m);
+                    m &= m - 1;
+                    int lx = loc >> 4, ly = (loc >> 2) & 3, lz = loc & 3;
+                    int64_t gx = bx + lx, gy = by + ly, gz = bz + lz;
+                    if (gx + 1 >= nx || gy + 1 >= ny || gz + 1 >= nz)
+                        continue;
+                    const int* si = sup_idx[lx][ly][lz];
+                    float v8[8];
+                    bool ok = true;
+                    for (int c8 = 0; c8 < 8; ++c8) {
+                        int idx = si[c8];
+                        if (!okv[idx]) { ok = false; break; }
+                        v8[c8] = sup[idx];
+                    }
+                    ++n_scanned;
+                    if (!ok) continue;  // unreachable for true straddles
+                    ++n_emit;
+                    double tp = prof ? now() : 0.0;
+                    BrickCtx ctx{rows, lx, ly, lz, bx, by, bz};
+                    process_cube((gx * ny + gy) * nz + gz, corner_off, v8,
+                                 method != 1 ? &ctx : nullptr);
+                    if (prof) t_proc += now() - tp;
+                }
+                continue;
+            }
             for (int lx = 0; lx < 4; ++lx) {
                 int64_t gx = bx + lx;
                 if (gx + 1 >= nx) break;
@@ -1176,8 +1217,9 @@ int extract_isosurface_active(
 // enumeration (ops/isosurface.extract_crossing_edges), used to look up
 // on-device warp-query results without shipping vertices back to the
 // device. -1 for vertices not on an axis edge (tetrahedra diagonals).
-int extract_isosurface_bricks(
-        const int32_t* brick_idx, const int8_t* brick_vals, int64_t n_bricks,
+static int extract_bricks_impl(
+        const int32_t* brick_idx, const int8_t* brick_vals,
+        const uint8_t* cube_masks, int64_t n_bricks,
         int64_t nx, int64_t ny, int64_t nz,
         float level, float qscale, float sx, float sy, float sz,
         int ascent, int method,
@@ -1186,6 +1228,7 @@ int extract_isosurface_bricks(
         int32_t** ranks_out, float** values_out, float** normals_out) {
     Extractor ex(nullptr, nx, ny, nz, level, sx, sy, sz, ascent != 0,
                  (size_t)n_bricks * 8);
+    ex.cube_masks = cube_masks;
     ex.method = method;
     ex.want_values = values_out != nullptr;
     ex.want_normals = normals_out != nullptr;
@@ -1211,6 +1254,41 @@ int extract_isosurface_bricks(
                        sizeof(int32_t) * nv);
     }
     return 0;
+}
+
+int extract_isosurface_bricks(
+        const int32_t* brick_idx, const int8_t* brick_vals, int64_t n_bricks,
+        int64_t nx, int64_t ny, int64_t nz,
+        float level, float qscale, float sx, float sy, float sz,
+        int ascent, int method,
+        float** verts_out, int64_t* nv_out,
+        int32_t** faces_out, int64_t* nf_out,
+        int32_t** ranks_out, float** values_out, float** normals_out) {
+    return extract_bricks_impl(
+        brick_idx, brick_vals, nullptr, n_bricks, nx, ny, nz, level, qscale,
+        sx, sy, sz, ascent, method, verts_out, nv_out, faces_out, nf_out,
+        ranks_out, values_out, normals_out);
+}
+
+// Masked brick variant: cube_masks carries the device-computed per-brick
+// 64-bit cube-straddle masks (ops/isosurface.extract_active_bricks
+// with_masks=True; bit loc = cube at local voxel loc straddles). The
+// kernel then skips the 64-cube rejection scan and the support fills of
+// all-empty bricks — the straddle set is bit-identical to the internal
+// corner test by the side-preserving quantization guarantee.
+int extract_isosurface_bricks_masked(
+        const int32_t* brick_idx, const int8_t* brick_vals,
+        const uint8_t* cube_masks, int64_t n_bricks,
+        int64_t nx, int64_t ny, int64_t nz,
+        float level, float qscale, float sx, float sy, float sz,
+        int ascent, int method,
+        float** verts_out, int64_t* nv_out,
+        int32_t** faces_out, int64_t* nf_out,
+        int32_t** ranks_out, float** values_out, float** normals_out) {
+    return extract_bricks_impl(
+        brick_idx, brick_vals, cube_masks, n_bricks, nx, ny, nz, level,
+        qscale, sx, sy, sz, ascent, method, verts_out, nv_out, faces_out,
+        nf_out, ranks_out, values_out, normals_out);
 }
 
 void mt_free(void* p) { free(p); }

@@ -213,8 +213,10 @@ BLOCK = 4          # cubes/voxels per brick edge
 BRICK_RECORD = 68  # 4 base bytes + 64 int8 values per shipped brick
 
 
-@functools.partial(jax.jit, static_argnames=("level", "brick_cap"))
-def extract_active_bricks(wnf: jax.Array, level: float, brick_cap: int):
+@functools.partial(jax.jit,
+                   static_argnames=("level", "brick_cap", "with_masks"))
+def extract_active_bricks(wnf: jax.Array, level: float, brick_cap: int,
+                          with_masks: bool = False):
     """wnf: [B, S, S, S] -> (brick_idx [B,brick_cap] i32 flat index into the
     (S/4)^3 block grid (-1 pad), brick_vals [B,brick_cap,64] int8 quantized
     4^3 voxel values in local C-order, counts [B] i32 shipped-brick counts).
@@ -222,7 +224,15 @@ def extract_active_bricks(wnf: jax.Array, level: float, brick_cap: int):
     S must be a multiple of BLOCK. counts may exceed brick_cap (host falls
     back to the full-volume path). The shipped set covers the support-active
     blocks and their 7 negative-face neighbors; quantization is
-    side-preserving (shared voxels quantize identically -> crack-free)."""
+    side-preserving (shared voxels quantize identically -> crack-free).
+
+    with_masks=True appends the per-brick 64-bit cube-STRADDLE mask as 8
+    little-endian uint8 bytes (brick_vals becomes [B,brick_cap,72] int8;
+    bit loc of the mask = the cube originating at local voxel loc
+    straddles the level). The C++ MC kernel then skips its 64-cube
+    rejection scan and all-empty support fills
+    (extract_isosurface_bricks_masked) — identical cube set by the
+    side-preserving quantization guarantee; +8 B/brick on the link."""
     B, S = wnf.shape[0], wnf.shape[1]
     assert S % BLOCK == 0, S
     nb = S // BLOCK
@@ -257,6 +267,29 @@ def extract_active_bricks(wnf: jax.Array, level: float, brick_cap: int):
     q = _quantize_vals(wnf, level)                           # [B,S,S,S] i8
     bricks = q.reshape(B, nb, BLOCK, nb, BLOCK, nb, BLOCK)
     bricks = bricks.transpose(0, 1, 3, 5, 2, 4, 6).reshape(B, nb ** 3, 64)
+    if with_masks:
+        # per-cube straddle over the forward 2^3 corner window, VALID
+        # windows only (high-edge voxels are not cube origins — padding
+        # into the AND-reduce would instead IGNORE the missing corners and
+        # mark mixed partial windows as straddling), then pad False
+        inside = wnf > level
+        dims2, str1 = (1, 2, 2, 2), (1, 1, 1, 1)
+        nopad = ((0, 0),) * 4
+        any_in = jax.lax.reduce_window(inside, False, jax.lax.bitwise_or,
+                                       dims2, str1, nopad)
+        all_in = jax.lax.reduce_window(inside, True, jax.lax.bitwise_and,
+                                       dims2, str1, nopad)
+        straddle = jnp.pad(
+            jnp.logical_and(any_in, jnp.logical_not(all_in)),
+            ((0, 0), (0, 1), (0, 1), (0, 1)))
+        sb = straddle.reshape(B, nb, BLOCK, nb, BLOCK, nb, BLOCK)
+        sb = sb.transpose(0, 1, 3, 5, 2, 4, 6).reshape(B, nb ** 3, 8, 8)
+        weights = jnp.asarray([1, 2, 4, 8, 16, 32, 64, 128], jnp.uint8)
+        mask_bytes = (sb.astype(jnp.uint8) * weights).sum(
+            axis=-1, dtype=jnp.uint8)                    # [B, nb^3, 8]
+        bricks = jnp.concatenate(
+            [bricks, jax.lax.bitcast_convert_type(mask_bytes, jnp.int8)],
+            axis=-1)                                     # [B, nb^3, 72]
     safe_idx = jnp.where(valid, brick_idx, 0)
     vals = jnp.take_along_axis(bricks, safe_idx[..., None], axis=1)
     brick_idx = jnp.where(valid, brick_idx, -1)
@@ -474,6 +507,18 @@ def pack_brick_pages(base, vals_q, page: int, counts=None):
 
 def unpack_brick_pages(pages, header: bool = False):
     """Host inverse of pack_brick_pages over the fetched page prefix:
-    (brick_idx [B, n*page] int32, vals_q [B, n*page, 64] int8).
+    (brick_idx [B, n*page] int32, payload [B, n*page, 64 or 72] int8 —
+    72 when the extraction ran with_masks=True; split_brick_payload
+    separates values from the straddle-mask bytes).
     header=True strips the page-0 count row."""
     return _unpack_pages(pages, header=header)
+
+
+def split_brick_payload(payload):
+    """(vals_q [.., 64] int8, cube_masks [.., 8] uint8 or None) from a
+    brick page payload (see extract_active_bricks with_masks)."""
+    import numpy as np
+    if payload.shape[-1] == 64:
+        return payload, None
+    assert payload.shape[-1] == 72, payload.shape
+    return payload[..., :64], payload[..., 64:].view(np.uint8)

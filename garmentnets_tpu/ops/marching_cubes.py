@@ -97,6 +97,17 @@ def _load_lib_locked():
             ctypes.c_int, ctypes.c_int,
         ] + out_args + [ctypes.POINTER(ctypes.POINTER(ctypes.c_int32)),
                         float_pp, float_pp]
+        lib.extract_isosurface_bricks_masked.restype = ctypes.c_int
+        lib.extract_isosurface_bricks_masked.argtypes = [
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int8),
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_float, ctypes.c_float,
+            ctypes.c_float, ctypes.c_float, ctypes.c_float,
+            ctypes.c_int, ctypes.c_int,
+        ] + out_args + [ctypes.POINTER(ctypes.POINTER(ctypes.c_int32)),
+                        float_pp, float_pp]
         lib.mt_free.argtypes = [ctypes.c_void_p]
         _LIB = lib
     except Exception as e:
@@ -217,7 +228,8 @@ def marching_cubes_bricks(brick_idx: np.ndarray, brick_vals_q: np.ndarray,
                           method: str = "cubes",
                           return_ranks: bool = False,
                           return_values: bool = False,
-                          return_normals: bool = False):
+                          return_normals: bool = False,
+                          cube_masks=None):
     """Isosurface from device-extracted int8 bricks (the predict engine's
     production wire format — ops/isosurface.extract_active_bricks).
 
@@ -267,9 +279,7 @@ def marching_cubes_bricks(brick_idx: np.ndarray, brick_vals_q: np.ndarray,
         normals_p = ctypes.POINTER(ctypes.c_float)()
         nv = ctypes.c_int64()
         nf = ctypes.c_int64()
-        lib.extract_isosurface_bricks(
-            brick_idx.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
-            brick_vals_q.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
+        common = (
             len(brick_idx), nx, ny, nz, ctypes.c_float(level),
             ctypes.c_float(VAL_QUANT_SCALE),
             ctypes.c_float(spacing[0]), ctypes.c_float(spacing[1]),
@@ -280,6 +290,22 @@ def marching_cubes_bricks(brick_idx: np.ndarray, brick_vals_q: np.ndarray,
             ctypes.byref(ranks_p) if return_ranks else None,
             ctypes.byref(values_p) if return_values else None,
             ctypes.byref(normals_p) if return_normals else None)
+        if cube_masks is not None:
+            # device-computed straddle masks: the kernel skips its cube
+            # rejection scan (identical cube set — side-preserving
+            # quantization guarantee; see extract_isosurface_bricks_masked)
+            cube_masks = np.ascontiguousarray(cube_masks, np.uint8)
+            assert cube_masks.shape == (len(brick_idx), 8), cube_masks.shape
+            lib.extract_isosurface_bricks_masked(
+                brick_idx.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                brick_vals_q.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
+                cube_masks.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                *common)
+        else:
+            lib.extract_isosurface_bricks(
+                brick_idx.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                brick_vals_q.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
+                *common)
         try:
             verts = np.ctypeslib.as_array(
                 verts_p, shape=(max(nv.value, 1), 3)).copy()[: nv.value]

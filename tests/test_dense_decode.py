@@ -207,6 +207,52 @@ def test_extract_meshes_reads_header_counts():
         np.testing.assert_array_equal(a, b)
 
 
+def test_extract_meshes_coalesced_prefix_matches():
+    """prefetch() coalesces the speculative page prefix into ONE device
+    buffer; extract_meshes must produce identical meshes through the
+    prefix path (speculation hit), through a SHORT prefix (miss -> prefix
+    + remaining pages), and with no prefix at all."""
+    from garmentnets_tpu.ops.isosurface import (
+        extract_active_bricks, pack_brick_pages)
+    from garmentnets_tpu.harness.predict_engine import PredictEngine
+    from garmentnets_tpu.models.pipeline import (
+        ConvImplicitWNFPipeline, PipelineConfig)
+    from garmentnets_tpu.models.pointnet2_nocs import PointNet2NOCSConfig
+    cfg = PipelineConfig(pointnet2=PointNet2NOCSConfig())
+    eng = PredictEngine.__new__(PredictEngine)
+    eng.model, eng.cfg = ConvImplicitWNFPipeline(cfg), cfg
+    eng.volume_size, eng.iso_level = 16, 0.5
+    eng.brick_cap, eng.brick_page = 64, 16
+    eng.gradient_direction = "ascent"
+    S = eng.volume_size
+    x, y, z = np.mgrid[:S, :S, :S] / (S - 1.0)
+    vol = 1.0 - 2.0 * np.sqrt((x - .5) ** 2 + (y - .5) ** 2 + (z - .5) ** 2)
+    wnf = jnp.asarray(vol[None].astype(np.float32))
+    base, vals, counts = extract_active_bricks(wnf, 0.5, eng.brick_cap)
+    n_pages = -(-int(np.asarray(counts)[0]) // eng.brick_page)
+    assert n_pages >= 2, "test needs a multi-page load"
+    pages = pack_brick_pages(base, vals, eng.brick_page, counts=counts)
+
+    plain = eng.extract_meshes({"active_pages": pages})
+    # speculation hit: prefix covers all needed pages
+    eng._spec_pages = n_pages
+    enc = {"active_pages": pages}
+    eng.prefetch(enc)
+    assert "_page_prefix" in enc and enc["_page_prefix"][0] == n_pages
+    hit = eng.extract_meshes(enc)
+    # speculation miss: prefix covers only 2 of the needed pages
+    eng._spec_pages = 2
+    enc2 = {"active_pages": pages}
+    eng.prefetch(enc2)
+    assert enc2["_page_prefix"][0] == 2 < n_pages
+    miss = eng.extract_meshes(enc2)
+    assert eng._spec_pages == n_pages      # speculation re-learned
+    for got in (hit, miss):
+        assert got[0] is not None
+        for a, b in zip(got[0], plain[0]):
+            np.testing.assert_array_equal(a, b)
+
+
 def test_extract_meshes_threaded_matches_serial(monkeypatch):
     """GARMENTNETS_MC_THREADS>1 runs per-garment MC on a thread pool (the
     C++ kernel is per-call-state only and ctypes drops the GIL); outputs

@@ -259,3 +259,60 @@ def test_trilinear_matches_cubes_on_smooth_field():
     np.testing.assert_array_equal(vt, vc)
     np.testing.assert_array_equal(ft, fcs)
     np.testing.assert_array_equal(valt, valc)
+
+
+def test_brick_straddle_masks_bit_exact():
+    """extract_active_bricks(with_masks=True) appends per-brick straddle
+    masks; the masked C++ path must produce the BIT-identical mesh of the
+    scan path (same cube set by the side-preserving quantization
+    guarantee), and the device mask must equal a numpy recompute from the
+    dequantized bricks."""
+    jnp = pytest.importorskip("jax.numpy")
+    from garmentnets_tpu.ops.isosurface import (
+        extract_active_bricks, split_brick_payload, dequantize_vals,
+        bricks_to_cube_list, BLOCK)
+    from garmentnets_tpu.ops.marching_cubes import marching_cubes_bricks
+
+    n = 32
+    rng = np.random.RandomState(5)
+    fields = [
+        _sphere_volume(n) + 0.5,
+        # noisy multi-component field exercises partial bricks + borders
+        (rng.rand(n, n, n) * 0.2 + _sphere_volume(n) * 0.7 + 0.5
+         ).astype(np.float32),
+    ]
+    for vol in fields:
+        b, v64, c = extract_active_bricks(jnp.asarray(vol[None]), 0.5, 512)
+        bm, v72, cm = extract_active_bricks(jnp.asarray(vol[None]), 0.5,
+                                            512, with_masks=True)
+        np.testing.assert_array_equal(np.asarray(b), np.asarray(bm))
+        np.testing.assert_array_equal(np.asarray(c), np.asarray(cm))
+        k = int(np.asarray(c)[0])
+        bi = np.asarray(b)[0, :k]
+        vals, masks = split_brick_payload(np.asarray(v72)[0, :k])
+        np.testing.assert_array_equal(vals, np.asarray(v64)[0, :k])
+
+        # mask oracle: recompute the straddle set from the cube list
+        cube_base, _ = bricks_to_cube_list(bi, vals, 0.5, n)
+        bits = np.zeros((k, 64), bool)
+        nb = n // BLOCK
+        cz = cube_base % n
+        cy = (cube_base // n) % n
+        cx = cube_base // (n * n)
+        block = ((cx // BLOCK) * nb + (cy // BLOCK)) * nb + (cz // BLOCK)
+        row_of = {int(idx): r for r, idx in enumerate(bi)}
+        for blk, x, y, z in zip(block, cx % BLOCK, cy % BLOCK, cz % BLOCK):
+            bits[row_of[int(blk)], (x * BLOCK + y) * BLOCK + z] = True
+        got_bits = np.unpackbits(
+            masks, axis=-1, bitorder="little").astype(bool)
+        np.testing.assert_array_equal(got_bits, bits)
+
+        spacing = (1 / (n - 1),) * 3
+        plain = marching_cubes_bricks(
+            bi, vals, (n, n, n), 0.5, spacing, return_values=True,
+            return_normals=True)
+        masked = marching_cubes_bricks(
+            bi, vals, (n, n, n), 0.5, spacing, return_values=True,
+            return_normals=True, cube_masks=masks)
+        for a, bb in zip(plain, masked):
+            np.testing.assert_array_equal(a, bb)

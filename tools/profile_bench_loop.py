@@ -94,13 +94,18 @@ def main():
         t[key] += time.perf_counter() - t0
         return out
 
-    # instrumented extract_meshes (same logic, staged timers). counts now
-    # ride page 0's header row: the 'counts' stage times the page-0 fetch
-    # that yields them (usually ~0 — page 0 was prefetched at dispatch)
+    # instrumented extract_meshes (same logic, staged timers). counts ride
+    # page 0's header row, and prefetch() coalesces the speculative prefix
+    # into one device buffer — the 'pages' stage times the prefix fetch
+    # (ONE transfer on a speculation hit), 'counts' the header decode.
     def extract_meshes_traced(enc):
         pages_d = enc["active_pages"]
-        counts_h = clock(
-            "counts", lambda: read_page_counts(pages_d[0]))
+        prefix = enc.get("_page_prefix")
+        if prefix is not None:
+            p0 = clock("pages", lambda: np.asarray(prefix[1]))
+        else:
+            p0 = clock("pages", lambda: np.asarray(pages_d[0]))
+        counts_h = clock("counts", lambda: read_page_counts(p0))
         kmax = int(counts_h.max())
         S = engine.volume_size
         spacing = (1.0 / (S - 1),) * 3
@@ -108,10 +113,14 @@ def main():
         engine._spec_pages = n_pages
 
         def fetch():
-            for p in pages_d[:n_pages]:
+            if prefix is not None and prefix[0] >= n_pages:
+                return unpack_brick_pages([p0], header=True)
+            srcs = ([p0] + list(pages_d[prefix[0]:n_pages])
+                    if prefix is not None else list(pages_d[:n_pages]))
+            for p in srcs:
                 if hasattr(p, "copy_to_host_async"):
                     p.copy_to_host_async()
-            return unpack_brick_pages(pages_d[:n_pages], header=True)
+            return unpack_brick_pages(srcs, header=True)
 
         brick_idx, brick_vals = clock("pages", fetch)
         results = [None] * len(counts_h)

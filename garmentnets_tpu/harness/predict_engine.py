@@ -167,9 +167,14 @@ class PredictEngine:
         self.device_normals = bool(device_normals)
         # ship per-brick cube-straddle masks (+8 B/brick) so the host MC
         # kernel skips its 64-cube rejection scan and all-empty support
-        # fills (ops/isosurface with_masks / C++ _masked entry point)
-        self.cube_masks = os.environ.get(
-            "GARMENTNETS_CUBE_MASKS", "0") == "1"
+        # fills (ops/isosurface with_masks / C++ _masked entry point).
+        # Paired A/B (2026-08-20): +4.3% at 256^3 (scan is ~15 of ~60 ms
+        # per-garment MC there), neutral at the default 128^3 load (0.993)
+        # — auto mode enables them for large volumes only, keeping the
+        # default-load encode program (and its warm XLA cache) unchanged.
+        raw_masks = os.environ.get("GARMENTNETS_CUBE_MASKS", "auto")
+        self.cube_masks = (volume_size >= 192 if raw_masks == "auto"
+                           else raw_masks == "1")
         self.use_hole_prediction = (use_hole_prediction
                                     and cfg.has_mc_surface_decoder)
         # task-space variant (reference apply_volume_task_space :279-295):
@@ -382,9 +387,16 @@ class PredictEngine:
         if pages:
             spec = max(1, min(getattr(self, "_spec_pages", 1), len(pages)))
             import os
+            # default OFF: paired A/B at the default 128^3 load measured
+            # the coalesced prefix LOSING (median ratio 0.920, 4/5 pairs
+            # below 1 — the extra concat dispatch serializes against the
+            # encode stream and costs more than the saved ~27 ms transfer
+            # floors, which the async speculative prefetch already hides);
+            # heavy-load A/B was neutral (1.005). Kept as an opt-in knob
+            # for links with a higher per-transfer floor.
             concat_on = getattr(
                 self, "page_concat_enabled",
-                os.environ.get("GARMENTNETS_PAGE_CONCAT", "1") != "0")
+                os.environ.get("GARMENTNETS_PAGE_CONCAT", "0") == "1")
             if (concat_on and spec > 1
                     and hasattr(pages[0], "copy_to_host_async")):
                 # coalesce the speculative prefix into ONE device buffer:

@@ -234,6 +234,9 @@ def test_extract_meshes_coalesced_prefix_matches():
     pages = pack_brick_pages(base, vals, eng.brick_page, counts=counts)
 
     plain = eng.extract_meshes({"active_pages": pages})
+    # coalescing is opt-in (paired A/B measured it losing on this host's
+    # tunnel; see prefetch()); the test exercises the opt-in path
+    eng.page_concat_enabled = True
     # speculation hit: prefix covers all needed pages
     eng._spec_pages = n_pages
     enc = {"active_pages": pages}
@@ -397,3 +400,36 @@ def test_dense_decode_spatial_sharding_equality():
     out_d = np.asarray(jax.jit(
         lambda v: dense_decode(v, layers, S, mesh=data_only, **kw))(fv))
     np.testing.assert_allclose(out_d, ref, rtol=1e-6, atol=1e-6)
+
+
+def test_extract_meshes_auto_detects_straddle_masks():
+    """Pages packed from extract_active_bricks(with_masks=True) carry
+    76-byte records; extract_meshes must auto-detect the wider payload,
+    route the masks to the C++ kernel's masked entry point, and produce
+    meshes identical to the unmasked path."""
+    from garmentnets_tpu.ops.isosurface import (
+        extract_active_bricks, pack_brick_pages)
+    from garmentnets_tpu.harness.predict_engine import PredictEngine
+    from garmentnets_tpu.models.pipeline import (
+        ConvImplicitWNFPipeline, PipelineConfig)
+    from garmentnets_tpu.models.pointnet2_nocs import PointNet2NOCSConfig
+    cfg = PipelineConfig(pointnet2=PointNet2NOCSConfig())
+    eng = PredictEngine.__new__(PredictEngine)
+    eng.model, eng.cfg = ConvImplicitWNFPipeline(cfg), cfg
+    eng.volume_size, eng.iso_level = 16, 0.5
+    eng.brick_cap, eng.brick_page = 64, 16
+    eng.gradient_direction = "ascent"
+    S = eng.volume_size
+    x, y, z = np.mgrid[:S, :S, :S] / (S - 1.0)
+    vol = 1.0 - 2.0 * np.sqrt((x - .5) ** 2 + (y - .5) ** 2 + (z - .6) ** 2)
+    wnf = jnp.asarray(vol[None].astype(np.float32))
+    outs = {}
+    for wm in (False, True):
+        b, v, c = extract_active_bricks(wnf, 0.5, eng.brick_cap,
+                                        with_masks=wm)
+        pages = pack_brick_pages(b, v, eng.brick_page, counts=c)
+        assert pages[0].shape[-1] == (76 if wm else 68)
+        outs[wm] = eng.extract_meshes({"active_pages": pages})
+    assert outs[False][0] is not None and outs[True][0] is not None
+    for a, bb in zip(outs[False][0], outs[True][0]):
+        np.testing.assert_array_equal(a, bb)

@@ -31,7 +31,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--knob", choices=("concat", "bucket", "masks"),
+    ap.add_argument("--knob",
+                    choices=("concat", "bucket", "masks", "normals"),
                     required=True)
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--volume", type=int, default=128)
@@ -80,6 +81,12 @@ def main():
     jax.block_until_ready(variables)
     engine = PredictEngine(cfg, variables, volume_size=VOL,
                            gradient_sigma=0.5)
+    # the 'normals' knob flips between two ENGINES (the warp/encode
+    # programs differ); weights are shared on device
+    engine_dn = (PredictEngine(cfg, variables, volume_size=VOL,
+                               gradient_sigma=0.5, device_normals=True)
+                 if args.knob == "normals" else None)
+    cur = [engine]
 
     cloth = _cloth_like_wnf(VOL, heavy=args.heavy)
     # two substituted page sets (with and without straddle masks) so the
@@ -87,7 +94,7 @@ def main():
     page_sets = {}
     zero_counts = None
     for wm in ((False, True) if args.knob == "masks" else
-               (os.environ.get("GARMENTNETS_CUBE_MASKS", "0") == "1",)):
+               (engine.cube_masks,)):
         base, vals, counts = extract_active_bricks(
             jnp.asarray(np.broadcast_to(cloth, (B,) + cloth.shape)),
             0.5, engine.brick_cap, with_masks=wm)
@@ -109,6 +116,7 @@ def main():
         return {"active_pages": ps, "active_counts": cs}
 
     def timed_run(n_batches):
+        eng = cur[0]
         t_start = time.time()
         done = 0
         encs = collections.deque()
@@ -116,23 +124,23 @@ def main():
 
         def pump(e):
             nonlocal done
-            meshes = engine.extract_meshes(e)
+            meshes = eng.extract_meshes(e)
             while len(warp_handles) >= 2:
-                engine.warp_collect(warp_handles.popleft())
-            warp_handles.append(engine.warp_dispatch(e, meshes))
+                eng.warp_collect(warp_handles.popleft())
+            warp_handles.append(eng.warp_dispatch(e, meshes))
             done += len(meshes)
 
         for i in range(n_batches):
-            enc = dict(engine.encode(batch["x"], batch["pos"]),
+            enc = dict(eng.encode(batch["x"], batch["pos"]),
                        **fresh_sub())
-            engine.prefetch(enc)
+            eng.prefetch(enc)
             encs.append(enc)
             if len(encs) > 2:
                 pump(encs.popleft())
         while encs:
             pump(encs.popleft())
         while warp_handles:
-            engine.warp_collect(warp_handles.popleft())
+            eng.warp_collect(warp_handles.popleft())
         return done / (time.time() - t_start)
 
     def set_knob(side):      # side: 'A' or 'B'
@@ -142,10 +150,13 @@ def main():
             engine.warp_bucket = 4096 if side == "A" else 8192
         elif args.knob == "masks":
             active_set[0] = side == "A"
+        elif args.knob == "normals":
+            cur[0] = engine_dn if side == "A" else engine
 
     labels = {"concat": ("prefix-concat ON", "prefix-concat OFF"),
               "bucket": ("warp bucket 4096", "warp bucket 8192"),
-              "masks": ("straddle masks ON", "straddle masks OFF")}
+              "masks": ("straddle masks ON", "straddle masks OFF"),
+              "normals": ("device normals", "host normals")}
     la, lb = labels[args.knob]
 
     # warm both configs (compiles + speculation state)

@@ -71,7 +71,7 @@ def main():
     cloth = _cloth_like_wnf(VOL, heavy=args.heavy)
     base, vals, counts = extract_active_bricks(
         jnp.asarray(np.broadcast_to(cloth, (B,) + cloth.shape)),
-        0.5, engine.brick_cap)
+        0.5, engine.brick_cap, with_masks=engine.cube_masks)
     pages = jax.jit(
         lambda b, v, c: pack_brick_pages(b, v, engine.brick_page,
                                          counts=c))(base, vals, counts)
@@ -123,6 +123,8 @@ def main():
             return unpack_brick_pages(srcs, header=True)
 
         brick_idx, brick_vals = clock("pages", fetch)
+        from garmentnets_tpu.ops.isosurface import split_brick_payload
+        brick_vals, masks = split_brick_payload(brick_vals)
         results = [None] * len(counts_h)
         t0 = time.perf_counter()
         for b in range(len(counts_h)):
@@ -134,7 +136,8 @@ def main():
                     brick_idx[b, :n], brick_vals[b, :n], (S, S, S),
                     engine.iso_level, spacing,
                     gradient_direction=engine.gradient_direction,
-                    return_values=True, return_normals=True)
+                    return_values=True, return_normals=True,
+                    cube_masks=None if masks is None else masks[b, :n])
                 results[b] = (v, f, vv, norms)
             except ValueError:
                 pass

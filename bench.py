@@ -101,24 +101,15 @@ def _start_watchdog(period: float = 45.0) -> None:
 
 
 def _link_canary() -> None:
-    """Time one tiny jitted op, cold then warm. On a healthy link the warm
+    """Time one tiny jitted op, cold then warm (shared helper — single
+    source of truth for the thresholds). On a healthy link the warm
     dispatch+fetch is < 50 ms; the 2026-08-20 degraded tunnel measured
-    ~0.45 s warm and 49-187 s cold — printing these two numbers first turns
-    a null capture into an attributed one."""
-    import jax
-    import jax.numpy as jnp
+    ~0.45 s warm and 49-513 s cold — printing these two numbers first
+    turns a null capture into an attributed one."""
+    from garmentnets_tpu.harness.linkcanary import run_link_canary
 
     _stage("link canary: device init + 1-elem jitted add (cold)")
-    x = jnp.ones((1,), jnp.float32)
-    f = jax.jit(lambda a: a + 1)
-    t0 = time.time()
-    float(f(x)[0])
-    cold = time.time() - t0
-    t0 = time.time()
-    float(f(x)[0])
-    warm = time.time() - t0
-    verdict = ("healthy" if warm < 0.1 else
-               "DEGRADED" if warm < 2.0 else "SEVERELY DEGRADED")
+    cold, warm, verdict = run_link_canary(quiet=True)
     _log(f"link canary: cold {cold:.1f}s, warm {warm:.3f}s -> {verdict} "
          "(healthy warm < 0.05s)")
 

@@ -9,40 +9,40 @@ soft threshold logs a one-line degradation warning; one that exceeds the
 hard deadline raises LinkStall instead of hanging the CLI/serve request
 forever with no log line.
 
-Implementation: the fetch runs on a worker thread and the caller waits with
-timeouts (np.asarray on a jax.Array is not interruptible, so a stalled fetch
-thread is abandoned — bounded-latency FAILURE is the contract, not fetch
-cancellation). GARMENTNETS_FETCH_DEADLINE (seconds) sets the hard deadline
-(default 600; 0 disables the guard entirely); the soft warning fires at
-min(30, deadline/4) seconds.
+Implementation: each guarded fetch runs on its OWN short-lived daemon
+thread and the caller waits with timeouts. Per-call threads (not a shared
+pool) because (a) the predict CLI fetches concurrently from the writer and
+main threads — a shared 1-worker pool would serialize them and count
+queue-wait against the deadline (spurious stalls on a slow-but-alive
+link), and (b) pool threads are non-daemon and concurrent.futures joins
+them atexit, so one genuinely stuck fetch would hang process EXIT — the
+exact failure mode this module exists to bound. A stalled daemon thread is
+simply abandoned (np.asarray on a jax.Array is not interruptible;
+bounded-latency FAILURE is the contract, not fetch cancellation), and
+daemon threads do not block interpreter exit. Thread spawn cost (~50 us)
+is noise against the link's ~27 ms per-transfer floor.
+
+GARMENTNETS_FETCH_DEADLINE (seconds) sets the hard deadline (default 600;
+0 disables the guard entirely and runs the fetch inline); the soft warning
+fires at min(30, deadline/4) seconds.
 """
 from __future__ import annotations
 
 import os
 import sys
+import threading
 import time
-from concurrent.futures import ThreadPoolExecutor
-from concurrent.futures import TimeoutError as FutureTimeout
 
 
 class LinkStall(RuntimeError):
     """A device->host fetch exceeded the hard deadline."""
 
 
-_EXEC: ThreadPoolExecutor | None = None
 _WARNED = [False]
 
 
 def _deadline() -> float:
     return float(os.environ.get("GARMENTNETS_FETCH_DEADLINE", "600"))
-
-
-def _executor() -> ThreadPoolExecutor:
-    global _EXEC
-    if _EXEC is None:
-        _EXEC = ThreadPoolExecutor(max_workers=1,
-                                   thread_name_prefix="linkguard")
-    return _EXEC
 
 
 def guarded_fetch(fn, what: str = "device fetch"):
@@ -52,27 +52,33 @@ def guarded_fetch(fn, what: str = "device fetch"):
     if deadline <= 0:
         return fn()
     soft = min(30.0, deadline / 4.0)
+    box: dict = {}
+    done = threading.Event()
+
+    def work():
+        try:
+            box["result"] = fn()
+        except BaseException as e:  # noqa: BLE001 — re-raised on caller
+            box["error"] = e
+        finally:
+            done.set()
+
     t0 = time.time()
-    fut = _executor().submit(fn)
-    try:
-        return fut.result(timeout=soft)
-    except FutureTimeout:
-        pass
-    if not _WARNED[0]:
-        _WARNED[0] = True
-        print(f"garmentnets_tpu: DEGRADED LINK — '{what}' still running "
-              f"after {soft:.0f}s (healthy: <1s); continuing to wait up to "
-              f"{deadline:.0f}s. Further slow fetches warn only via "
-              "LinkStall.", file=sys.stderr, flush=True)
-    try:
-        return fut.result(timeout=max(0.0, deadline - (time.time() - t0)))
-    except FutureTimeout:
-        global _EXEC
-        # the worker is stuck on the un-interruptible fetch: abandon this
-        # executor (daemon thread) so the next guarded_fetch gets a live one
-        _EXEC = None
-        raise LinkStall(
-            f"device->host fetch '{what}' exceeded the "
-            f"{deadline:.0f}s deadline (GARMENTNETS_FETCH_DEADLINE); the "
-            "device tunnel is stalled — aborting instead of hanging") \
-            from None
+    threading.Thread(target=work, daemon=True,
+                     name=f"linkguard:{what[:40]}").start()
+    if not done.wait(timeout=soft):
+        if not _WARNED[0]:
+            _WARNED[0] = True
+            print(f"garmentnets_tpu: DEGRADED LINK — '{what}' still "
+                  f"running after {soft:.0f}s (healthy: <1s); continuing "
+                  f"to wait up to {deadline:.0f}s. Further slow fetches "
+                  "warn only via LinkStall.", file=sys.stderr, flush=True)
+        if not done.wait(timeout=max(0.0, deadline - (time.time() - t0))):
+            raise LinkStall(
+                f"device->host fetch '{what}' exceeded the "
+                f"{deadline:.0f}s deadline (GARMENTNETS_FETCH_DEADLINE); "
+                "the device tunnel is stalled — aborting instead of "
+                "hanging")
+    if "error" in box:
+        raise box["error"]
+    return box["result"]

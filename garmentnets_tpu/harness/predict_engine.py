@@ -457,8 +457,12 @@ class PredictEngine:
         if kmax == 0:
             return results
         if kmax > self.brick_cap:
-            # capacity overflow: fall back to full-volume MC (rare)
-            wnf = np.asarray(self._dense_wnf(enc))
+            # capacity overflow: fall back to full-volume MC (rare). The
+            # dense WNF is the engine's single largest d2h transfer —
+            # guard it like every other fetch
+            wnf = guarded_fetch(
+                lambda: np.asarray(self._dense_wnf(enc)),
+                "full WNF volume (brick-cap overflow fallback)")
             for b in range(B):
                 try:
                     v, f, norms, vals = marching_cubes(
@@ -629,7 +633,12 @@ class PredictEngine:
             out = np.asarray(self._warp(self.variables, feature_volume,
                                         ggm_dummy, ggm_dummy,
                                         jnp.asarray(q)))
-        else:
-            out = np.asarray(self._warp(self.variables, feature_volume,
-                                        ggm_dummy, jnp.asarray(q)))
+            res = self._split_channels(out[0, :v])
+            # this back-compat API has no WNF volume to sample gradients
+            # from (the dummy yields meaningless vectors) — drop them
+            # rather than hand the caller junk; use warp_batch for normals
+            res.pop("normals", None)
+            return res
+        out = np.asarray(self._warp(self.variables, feature_volume,
+                                    ggm_dummy, jnp.asarray(q)))
         return self._split_channels(out[0, :v])

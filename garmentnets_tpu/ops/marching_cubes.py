@@ -253,6 +253,16 @@ def marching_cubes_bricks(brick_idx: np.ndarray, brick_vals_q: np.ndarray,
     from garmentnets_tpu.ops.isosurface import (
         VAL_QUANT_SCALE, bricks_to_cube_list)
     brick_idx = np.ascontiguousarray(brick_idx, np.int32)
+    if np.shape(brick_vals_q)[-1] == 72 and cube_masks is None:
+        # masked wire format (extract_active_bricks with_masks=True) passed
+        # whole: auto-split rather than silently reading mask bytes as
+        # voxel values at the kernel's stride-64 indexing
+        from garmentnets_tpu.ops.isosurface import split_brick_payload
+        brick_vals_q, cube_masks = split_brick_payload(
+            np.asarray(brick_vals_q))
+    assert np.shape(brick_vals_q)[-1] == 64, (
+        f"brick_vals_q must be [K,64] int8 voxel rows (or the [K,72] "
+        f"masked payload), got {np.shape(brick_vals_q)}")
     brick_vals_q = np.ascontiguousarray(brick_vals_q, np.int8)
     nx, ny, nz = dims
     ascent = gradient_direction == "ascent"

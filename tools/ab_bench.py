@@ -54,17 +54,8 @@ def main():
     from bench import _cloth_like_wnf
 
     # link canary first (attributes a bad session)
-    x1 = jnp.ones((1,), jnp.float32)
-    f1 = jax.jit(lambda a: a + 1)
-    t0 = time.time()
-    float(f1(x1)[0])
-    cold = time.time() - t0
-    t0 = time.time()
-    float(f1(x1)[0])
-    warm = time.time() - t0
-    print(f"link canary: cold {cold:.1f}s warm {warm:.3f}s "
-          f"({'healthy' if warm < 0.1 else 'DEGRADED'})", file=sys.stderr,
-          flush=True)
+    from garmentnets_tpu.harness.linkcanary import run_link_canary
+    run_link_canary()
 
     B, N, VOL = args.batch, 6000, args.volume
     cfg = PipelineConfig(pointnet2=PointNet2NOCSConfig())

@@ -59,18 +59,8 @@ def main():
     # link canary (the tunnel oscillates healthy<->degraded on ~minute
     # timescales — docs/PERF.md round-5 A/B methodology): print it so a
     # bad session is attributable
-    import jax
-    import jax.numpy as jnp
-    f1 = jax.jit(lambda a: a + 1)
-    t0 = time.time()
-    float(f1(jnp.ones((1,), jnp.float32))[0])
-    cold = time.time() - t0
-    t0 = time.time()
-    float(f1(jnp.ones((1,), jnp.float32))[0])
-    warm = time.time() - t0
-    print(f"link canary: cold {cold:.1f}s warm {warm:.3f}s "
-          f"({'healthy' if warm < 0.1 else 'DEGRADED'})", file=sys.stderr,
-          flush=True)
+    from garmentnets_tpu.harness.linkcanary import run_link_canary
+    run_link_canary()
     from garmentnets_tpu.harness.serve import PredictService
 
     x, pos = load_clouds(args.zarr, args.batch, args.points)

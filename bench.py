@@ -109,9 +109,48 @@ def _link_canary() -> None:
     from garmentnets_tpu.harness.linkcanary import run_link_canary
 
     _stage("link canary: device init + 1-elem jitted add (cold)")
-    cold, warm, verdict = run_link_canary(quiet=True)
-    _log(f"link canary: cold {cold:.1f}s, warm {warm:.3f}s -> {verdict} "
-         "(healthy warm < 0.05s)")
+    run_link_canary(printer=_log)
+
+
+def run_pipeline(engine, batch, fresh_sub, n_batches):
+    """The production 5-stage pipelined predict loop: marching cubes for
+    batch i runs while the device executes encode(i+1)/(i+2) — keeping TWO
+    encodes in flight ahead of the MC stage means batch i's brick pages
+    (which can only start streaming once encode(i) finishes) get a full
+    iteration to cross the slow link before the host touches them. Warp
+    results are likewise collected at depth 2 (the device executes warp(i)
+    after the queued encodes, FIFO order). All device->host copies are
+    issued asynchronously at dispatch time.
+
+    SINGLE source of truth for the loop shape: tools/ab_bench.py imports
+    this so its A/B verdicts measure the exact production pipeline, and
+    tools/profile_bench_loop.py mirrors it with stage timers (keep in
+    sync). Returns (garments_done, elapsed_seconds)."""
+    import collections
+
+    t_start = time.time()
+    done = 0
+    encs = collections.deque()
+    warp_handles = collections.deque()
+
+    def pump(e):
+        meshes = engine.extract_meshes(e)
+        while len(warp_handles) >= 2:
+            engine.warp_collect(warp_handles.popleft())
+        warp_handles.append(engine.warp_dispatch(e, meshes))
+        return len(meshes)
+
+    for i in range(n_batches):
+        enc = dict(engine.encode(batch["x"], batch["pos"]), **fresh_sub())
+        engine.prefetch(enc)
+        encs.append(enc)
+        if len(encs) > 2:
+            done += pump(encs.popleft())
+    while encs:
+        done += pump(encs.popleft())
+    while warp_handles:
+        engine.warp_collect(warp_handles.popleft())
+    return done, time.time() - t_start
 
 
 def main():
@@ -218,41 +257,8 @@ def main():
     nv = len(meshes[0][0]) if meshes[0] else 0
     _log(f"warp compile ({nv} verts): {time.time()-t0:.1f}s")
 
-    # timed loop: 5-stage software pipeline. Marching cubes for batch i runs
-    # while the device executes encode(i+1)/(i+2) — keeping TWO encodes in
-    # flight ahead of the MC stage means batch i's brick pages (which can
-    # only start streaming once encode(i) finishes) get a full iteration to
-    # cross the slow link before the host touches them. Warp results are
-    # likewise collected at depth 2 (the device executes warp(i) after the
-    # queued encodes, FIFO order). All device->host copies are issued
-    # asynchronously at dispatch time.
-    import collections
-
     def timed_run(n_batches=N_BATCHES):
-        t_start = time.time()
-        done = 0
-        encs = collections.deque()
-        warp_handles = collections.deque()
-
-        def pump(e):
-            meshes = engine.extract_meshes(e)
-            while len(warp_handles) >= 2:
-                engine.warp_collect(warp_handles.popleft())
-            warp_handles.append(engine.warp_dispatch(e, meshes))
-            return len(meshes)
-
-        for i in range(n_batches):
-            enc = dict(engine.encode(batch["x"], batch["pos"]),
-                       **fresh_sub())
-            engine.prefetch(enc)
-            encs.append(enc)
-            if len(encs) > 2:
-                done += pump(encs.popleft())
-        while encs:
-            done += pump(encs.popleft())
-        while warp_handles:
-            engine.warp_collect(warp_handles.popleft())
-        return done, time.time() - t_start
+        return run_pipeline(engine, batch, fresh_sub, n_batches)
 
     # the device tunnel on this host has ~±10% run-to-run variance with
     # occasional congestion outliers; the MEDIAN of 3 timed runs is the best

@@ -12,9 +12,21 @@ import sys
 import time
 
 
-def run_link_canary(quiet: bool = False):
-    """Returns (cold_s, warm_s, verdict_str); prints one line to stderr
-    unless quiet. Initializes the default jax backend as a side effect."""
+# verdict tiers (single source of truth; healthy hosts measure ~0.03 s)
+HEALTHY_BELOW_S = 0.1
+DEGRADED_BELOW_S = 2.0
+
+
+def canary_line(cold: float, warm: float, verdict: str) -> str:
+    return (f"link canary: cold {cold:.1f}s, warm {warm:.3f}s -> "
+            f"{verdict} (healthy warm < {HEALTHY_BELOW_S:g}s)")
+
+
+def run_link_canary(quiet: bool = False, printer=None):
+    """Returns (cold_s, warm_s, verdict_str). Prints canary_line() to
+    stderr unless quiet; `printer` overrides the output channel (e.g.
+    bench.py's timestamped logger). Initializes the default jax backend
+    as a side effect."""
     import jax
     import jax.numpy as jnp
 
@@ -26,10 +38,13 @@ def run_link_canary(quiet: bool = False):
     t0 = time.time()
     float(f(x)[0])
     warm = time.time() - t0
-    verdict = ("healthy" if warm < 0.1 else
-               "DEGRADED" if warm < 2.0 else "SEVERELY DEGRADED")
+    verdict = ("healthy" if warm < HEALTHY_BELOW_S else
+               "DEGRADED" if warm < DEGRADED_BELOW_S
+               else "SEVERELY DEGRADED")
     if not quiet:
-        print(f"link canary: cold {cold:.1f}s, warm {warm:.3f}s -> "
-              f"{verdict} (healthy warm < 0.05s)", file=sys.stderr,
-              flush=True)
+        line = canary_line(cold, warm, verdict)
+        if printer is not None:
+            printer(line)
+        else:
+            print(line, file=sys.stderr, flush=True)
     return cold, warm, verdict

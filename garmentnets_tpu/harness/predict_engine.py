@@ -22,6 +22,7 @@ devices.
 """
 from __future__ import annotations
 
+import threading
 from typing import Optional
 
 import numpy as np
@@ -40,6 +41,7 @@ from garmentnets_tpu.ops.marching_cubes import (
 
 
 _MC_POOLS: dict = {}
+_MC_POOLS_LOCK = threading.Lock()
 
 
 def _shared_mc_pool():
@@ -61,13 +63,17 @@ def _shared_mc_pool():
         return None
     pool = _MC_POOLS.get(n)
     if pool is None:
-        import atexit
-        from concurrent.futures import ThreadPoolExecutor
-        from garmentnets_tpu.ops.marching_cubes import _load_lib
-        _load_lib()
-        pool = ThreadPoolExecutor(max_workers=n, thread_name_prefix="mc")
-        atexit.register(pool.shutdown, wait=False)
-        _MC_POOLS[n] = pool
+        with _MC_POOLS_LOCK:     # two engines can race first use
+            pool = _MC_POOLS.get(n)
+            if pool is None:
+                import atexit
+                from concurrent.futures import ThreadPoolExecutor
+                from garmentnets_tpu.ops.marching_cubes import _load_lib
+                _load_lib()
+                pool = ThreadPoolExecutor(max_workers=n,
+                                          thread_name_prefix="mc")
+                atexit.register(pool.shutdown, wait=False)
+                _MC_POOLS[n] = pool
     return pool
 
 

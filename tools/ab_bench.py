@@ -19,10 +19,8 @@ Usage: python tools/ab_bench.py --knob concat [--heavy] [--pairs 5]
 from __future__ import annotations
 
 import argparse
-import collections
 import os
 import sys
-import time
 
 import numpy as np
 
@@ -51,7 +49,7 @@ def main():
     from garmentnets_tpu.harness.predict_engine import PredictEngine
     from garmentnets_tpu.ops.isosurface import (
         extract_active_bricks, pack_brick_pages)
-    from bench import _cloth_like_wnf
+    from bench import _cloth_like_wnf, run_pipeline
 
     # link canary first (attributes a bad session)
     from garmentnets_tpu.harness.linkcanary import run_link_canary
@@ -107,32 +105,10 @@ def main():
         return {"active_pages": ps, "active_counts": cs}
 
     def timed_run(n_batches):
-        eng = cur[0]
-        t_start = time.time()
-        done = 0
-        encs = collections.deque()
-        warp_handles = collections.deque()
-
-        def pump(e):
-            nonlocal done
-            meshes = eng.extract_meshes(e)
-            while len(warp_handles) >= 2:
-                eng.warp_collect(warp_handles.popleft())
-            warp_handles.append(eng.warp_dispatch(e, meshes))
-            done += len(meshes)
-
-        for i in range(n_batches):
-            enc = dict(eng.encode(batch["x"], batch["pos"]),
-                       **fresh_sub())
-            eng.prefetch(enc)
-            encs.append(enc)
-            if len(encs) > 2:
-                pump(encs.popleft())
-        while encs:
-            pump(encs.popleft())
-        while warp_handles:
-            eng.warp_collect(warp_handles.popleft())
-        return done / (time.time() - t_start)
+        # the SHARED production pipeline loop (bench.run_pipeline): A/B
+        # verdicts are only valid if both sides run the exact bench shape
+        done, elapsed = run_pipeline(cur[0], batch, fresh_sub, n_batches)
+        return done / elapsed
 
     def set_knob(side):      # side: 'A' or 'B'
         if args.knob == "concat":

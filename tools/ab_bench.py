@@ -12,9 +12,14 @@ the per-pair ratios agree in direction.
 Knobs:
   --knob concat   page-prefix coalescing on/off (engine.page_concat_enabled)
   --knob bucket   warp result bucket 4096 (A) vs 8192 (B)
+  --knob masks    per-brick straddle masks on/off (wire-format flip)
+  --knob normals  device-side MC normals vs host kernel normals
 
 Usage: python tools/ab_bench.py --knob concat [--heavy] [--pairs 5]
        [--volume 128] [--batch 8] [--batches 10]
+
+Round-5 verdicts from this tool are tabled in docs/PERF.md ("Round-5 A/B
+campaign").
 """
 from __future__ import annotations
 

@@ -8,6 +8,7 @@ these sizes (meshes are ~10k verts).
 """
 from __future__ import annotations
 
+import threading
 from typing import Optional, Tuple
 
 import numpy as np
@@ -219,15 +220,28 @@ def connected_components(faces: np.ndarray, num_verts: int
 
 _HAUSDORFF_LIB = None
 _HAUSDORFF_FAILED = False
+_HAUSDORFF_LOCK = threading.Lock()
 
 
 def _load_hausdorff_lib():
     """On-demand g++ build of ops/cpp/hausdorff.cpp (same pattern as the
-    marching-cubes kernel); None when no toolchain is available."""
+    marching-cubes kernel: double-checked lock, pid-unique temp +
+    os.rename so the eval PROCESS pool's concurrent first-use compiles
+    never dlopen a half-written file, loud fallback); None when no
+    toolchain is available."""
     global _HAUSDORFF_LIB, _HAUSDORFF_FAILED
     if _HAUSDORFF_LIB is not None or _HAUSDORFF_FAILED:
         return _HAUSDORFF_LIB
+    with _HAUSDORFF_LOCK:
+        if _HAUSDORFF_LIB is not None or _HAUSDORFF_FAILED:
+            return _HAUSDORFF_LIB
+        return _load_hausdorff_locked()
+
+
+def _load_hausdorff_locked():
+    global _HAUSDORFF_LIB, _HAUSDORFF_FAILED
     import ctypes
+    import os
     import pathlib
     import subprocess
     cpp_dir = pathlib.Path(__file__).parent / "cpp"
@@ -235,9 +249,12 @@ def _load_hausdorff_lib():
     src = cpp_dir / "hausdorff.cpp"
     try:
         if not so.exists() or so.stat().st_mtime < src.stat().st_mtime:
+            tmp = so.with_suffix(f".{os.getpid()}.tmp.so")
             subprocess.run(
-                ["g++", "-O3", "-shared", "-fPIC", "-o", str(so), str(src)],
+                ["g++", "-O3", "-shared", "-fPIC", "-o", str(tmp),
+                 str(src)],
                 check=True, capture_output=True)
+            os.rename(tmp, so)
         lib = ctypes.CDLL(str(so))
         lib.mesh_hausdorff_exact.restype = ctypes.c_double
         lib.mesh_hausdorff_exact.argtypes = [
@@ -254,7 +271,11 @@ def _load_hausdorff_lib():
             ctypes.POINTER(ctypes.c_double),
         ]
         _HAUSDORFF_LIB = lib
-    except Exception:
+    except Exception as e:
+        import sys
+        print(f"garmentnets_tpu: C++ hausdorff unavailable ({e!r}); "
+              "falling back to the sampled approximation",
+              file=sys.stderr, flush=True)
         _HAUSDORFF_FAILED = True
     return _HAUSDORFF_LIB
 

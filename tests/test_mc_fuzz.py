@@ -110,3 +110,49 @@ def test_brick_path_matches_dense(seed):
         c_d = Counter((t, round(float(x), 4))
                       for t, x in zip(map(tuple, np.round(v_d, 5)), val_d))
         assert c_b == c_d
+
+
+@settings(max_examples=15, deadline=None)
+@given(st.integers(0, 2 ** 31 - 1))
+def test_masked_brick_path_matches_scan(seed):
+    """Fuzz the device straddle-mask wire format (with_masks=True) against
+    the scan path: identical bricks, counts, and bit-identical meshes on
+    random smoothed fields."""
+    jnp = pytest.importorskip("jax.numpy")
+    from garmentnets_tpu.ops.isosurface import (
+        extract_active_bricks, split_brick_payload)
+    from garmentnets_tpu.ops.marching_cubes import marching_cubes_bricks
+
+    S, level = 8, 0.5
+    rng = np.random.RandomState(seed)
+    from scipy.ndimage import gaussian_filter
+    vol = gaussian_filter(rng.rand(S, S, S), 0.8).astype(np.float32)
+    vol = (vol - vol.min()) / max(vol.max() - vol.min(), 1e-6)
+    b0, v0, c0 = extract_active_bricks(jnp.asarray(vol[None]), level, 64)
+    b1, v1, c1 = extract_active_bricks(jnp.asarray(vol[None]), level, 64,
+                                       with_masks=True)
+    np.testing.assert_array_equal(np.asarray(b0), np.asarray(b1))
+    np.testing.assert_array_equal(np.asarray(c0), np.asarray(c1))
+    n = int(np.asarray(c0)[0])
+    if n == 0 or n > 64:
+        return
+    vals, masks = split_brick_payload(np.asarray(v1)[0, :n])
+    np.testing.assert_array_equal(vals, np.asarray(v0)[0, :n])
+    spacing = (1.0 / (S - 1),) * 3
+    kw = dict(return_values=True, return_normals=True)
+    try:
+        plain = marching_cubes_bricks(
+            np.asarray(b0)[0, :n], np.asarray(v0)[0, :n], (S, S, S),
+            level, spacing, **kw)
+    except ValueError:
+        plain = None
+    try:
+        masked = marching_cubes_bricks(
+            np.asarray(b0)[0, :n], vals, (S, S, S), level, spacing,
+            cube_masks=masks, **kw)
+    except ValueError:
+        masked = None
+    assert (plain is None) == (masked is None)
+    if plain is not None:
+        for a, b in zip(plain, masked):
+            np.testing.assert_array_equal(a, b)
